@@ -1,0 +1,112 @@
+"""Stage 4 — canonicalization via connected components over alias edges.
+
+Surface-form variants link to *variant* entity ids (``neuron:nodea:0``);
+``alias_edges(alias_a, alias_b)`` assert equivalences. Connected
+components resolve every variant to its cluster's lexicographically
+smallest member (FIXTURES.md §3) — the canonical id.
+
+Algorithm: alternating large-star / small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) expressed as DataFrame joins — O(log n) rounds on pathological
+graphs, 1-2 rounds on real alias graphs (shallow stars). Each round
+``localCheckpoint``s to truncate lineage (SURVEY.md §4 custom item 2);
+convergence is detected with a cheap order-insensitive edge-set
+fingerprint instead of a full subtract.
+
+The reference has no canonicalization (its keys arrive clean from HDF5);
+the uniqueness constraint it declares on ``(Neuron.id, population_name)``
+(``scripts/load_circuit.py:30-32``) is what cluster-canonical ids enforce
+here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fingerprint(edges: DataFrame) -> int:
+    # decimal(38,0) sum: overflow-proof under ANSI mode (Spark 4 default)
+    row = edges.select(
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("fp"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return hash((row["fp"], row["n"]))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.where(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u to min(N(u) ∪ {u})."""
+    pointed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = pointed.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    nbrs = pointed.union(pointed.select(F.col("u"), F.col("u").alias("v"))).distinct()
+    return (
+        nbrs.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    alias_edges: DataFrame,
+    a_col: str = "alias_a",
+    b_col: str = "alias_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """alias edges -> (entity_id, canonical_id) for every non-isolated node.
+
+    ``canonical_id`` is the min member of the node's component. Isolated
+    nodes (no alias) simply never appear — callers coalesce to identity.
+    """
+    edges = (
+        alias_edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        fp = _fingerprint(edges)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # After convergence the edge set is a union of stars pointing at the
+    # component minimum; one final grouping makes that explicit.
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("canonical_id")).select(
+        F.col("u").alias("entity_id"), "canonical_id"
+    )
+
+
+def apply_canonical_mapping(
+    df: DataFrame, mapping: DataFrame, col: str = "entity_id"
+) -> DataFrame:
+    """Rewrite ``col`` to its canonical id (identity when unmapped).
+
+    The mapping is tiny relative to the data (alias clusters only) —
+    broadcast left join, no shuffle of ``df``.
+    """
+    m = mapping.select(
+        F.col("entity_id").alias("__alias"), F.col("canonical_id").alias("__canon")
+    )
+    return (
+        df.join(F.broadcast(m), df[col] == m["__alias"], "left")
+        .withColumn(col, F.coalesce("__canon", col))
+        .drop("__alias", "__canon")
+    )

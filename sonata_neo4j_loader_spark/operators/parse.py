@@ -1,0 +1,95 @@
+"""Stage 1 — parse/normalize interleaved span sequences.
+
+The reference's parser reads SONATA attributes column-by-column and trusts
+HDF5 dataset order (``circuit/data_extraction.py:52-58``). Here the unit of
+work is a document whose spans may be *stored* in any array order; the
+``offset`` field is the truth. Parsing:
+
+* restores canonical order with ``array_sort`` + comparator (JVM-side,
+  no shuffle — spans live inside one row),
+* validates the span sequence (offsets dense + unique from 0),
+* derives ``doc_text`` (ordered text spans joined) and ``media_refs``
+  (ordered media refs) for the mention stage,
+* exposes a per-row fingerprint so any later explode/re-assembly can be
+  audited for span-sequence equality (kind, text, media_ref, order) — the
+  north-rule per-row invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SORT = "array_sort(spans, (l, r) -> l.offset - r.offset)"
+
+# Fingerprint of the *logical* sequence (kind, text, media_ref, order):
+# hash of the offset-ordered spans, insensitive to storage order.
+_FINGERPRINT = (
+    "xxhash64(aggregate("
+    + _SORT
+    + ", '', (acc, s) -> concat(acc, '\\u0001', s.kind, '\\u0002', s.text,"
+    " '\\u0002', s.media_ref)))"
+)
+
+
+def span_fingerprint() -> F.Column:
+    """Column: order-canonical fingerprint of a ``spans`` column."""
+    return F.expr(_FINGERPRINT)
+
+
+def parse_documents(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, spans, doc_text, media_refs, span_fingerprint, spans_valid)."""
+    sorted_spans = F.expr(_SORT)
+    n = F.size("spans")
+    offsets_ok = F.expr(
+        "forall(zip_with(transform(" + _SORT + ", s -> s.offset),"
+        " sequence(0, size(spans) - 1), (o, i) -> o = i), x -> x)"
+    )
+    return (
+        docs.withColumn("span_fingerprint", span_fingerprint())
+        .withColumn("spans", sorted_spans)
+        .withColumn("spans_valid", F.when(n == 0, F.lit(False)).otherwise(offsets_ok))
+        .withColumn(
+            "doc_text",
+            F.array_join(
+                F.expr("transform(filter(spans, s -> s.kind = 'text'), s -> s.text)"), " "
+            ),
+        )
+        .withColumn(
+            "media_refs",
+            F.expr("transform(filter(spans, s -> s.kind = 'media'), s -> s.media_ref)"),
+        )
+    )
+
+
+def audit_span_invariant(original: DataFrame, processed: DataFrame) -> DataFrame:
+    """Rows whose span sequence was NOT preserved (must be empty).
+
+    ``original`` and ``processed`` both need (doc_id, spans). Equality is
+    on the logical sequence (kind, text, media_ref, order) — storage
+    permutations are allowed, mutations/drops/reorders of the logical
+    sequence are not.
+    """
+    a = original.select("doc_id", span_fingerprint().alias("fp_in"))
+    b = processed.select("doc_id", span_fingerprint().alias("fp_out"))
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .where(
+            F.col("fp_in").isNull()
+            | F.col("fp_out").isNull()
+            | (F.col("fp_in") != F.col("fp_out"))
+        )
+    )
+
+
+def reassemble_spans(exploded: DataFrame) -> DataFrame:
+    """Inverse of ``explode``: (doc_id, kind, text, media_ref, offset) -> documents.
+
+    Shuffle may deliver span rows in any order; ``array_sort`` restores the
+    per-row sequence (SURVEY.md §4 custom-invariant item 4).
+    """
+    return (
+        exploded.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("kind", "text", "media_ref", "offset")).alias("spans"))
+        .withColumn("spans", F.expr(_SORT))
+    )

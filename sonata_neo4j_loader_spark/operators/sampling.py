@@ -1,0 +1,76 @@
+"""Sampling and node-set filtering (≙ reference extract_nodes/extract_edges).
+
+The reference samples nodes with ``pandas.DataFrame.sample(frac, random_state
+=42)`` after an optional node-set filter (``circuit/data_extraction.py:45-47,
+74``), then keeps only edges whose *both* endpoints survived
+(``data_extraction.py:167-173`` — Python-set ``isin`` masks, i.e. two
+semi-joins materialized on the driver; that driver materialization is
+exactly what cannot scale and is replaced here).
+
+Scale-correct equivalents:
+
+* node-set filter → predicate / left-semi join on ``population``;
+* fraction sampling → **value-hash sampling**: keep a neuron iff
+  ``xxhash64(neuron_id, seed) mod 2^20 < p·2^20``. Unlike
+  ``DataFrame.sample``, this is deterministic under any partitioning and
+  parallelism (required for the N-vs-4N scaling runs to emit identical
+  triples, SURVEY.md §7.4), reproducible across runs, and consistent:
+  the same neuron is kept everywhere it appears;
+* edge survival → two left-semi joins against the sampled neuron set
+  (broadcast when small; AQE otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 20
+
+
+def sample_by_hash(
+    df: DataFrame, key_col: str, proportion: float, seed: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep iff hash bucket < p·2^20."""
+    if proportion >= 1.0:
+        return df
+    if proportion <= 0.0:
+        return df.where(F.lit(False))
+    threshold = int(proportion * _BUCKETS)
+    return df.where(
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BUCKETS)) < threshold
+    )
+
+
+def filter_node_set(neurons: DataFrame, node_set_pops: list[str] | None) -> DataFrame:
+    """Node-set filter: keep neurons of the named populations.
+
+    ≙ ``node_population.ids(node_set)`` (data_extraction.py:45-47) with the
+    fixture's node-set → population mapping (node_sets.json: Mosaic_A →
+    NodeA, Mosaic_B → NodeB). Canonical neuron ids are
+    ``neuron:{pop}:{id}`` so population is derivable without a join.
+    """
+    if not node_set_pops:
+        return neurons
+    pop = F.split(F.col("neuron_id"), ":").getItem(1)
+    return neurons.where(pop.isin(node_set_pops))
+
+
+def restrict_edges_to_neurons(
+    edges: DataFrame,
+    neurons: DataFrame,
+    src_col: str = "subj",
+    tgt_col: str = "obj",
+    broadcast_neurons: bool = True,
+) -> DataFrame:
+    """Keep edges whose BOTH endpoints are in ``neurons`` (two semi-joins).
+
+    ≙ the reference's isin-mask pair (data_extraction.py:167-173), minus
+    the driver-side set materialization.
+    """
+    n = neurons.select(F.col("neuron_id"))
+    if broadcast_neurons:
+        n = F.broadcast(n)
+    return edges.join(
+        n.withColumnRenamed("neuron_id", src_col), src_col, "left_semi"
+    ).join(n.withColumnRenamed("neuron_id", tgt_col), tgt_col, "left_semi")

@@ -1,0 +1,155 @@
+"""The full KG-construction plan: documents -> triples.
+
+Mirrors the reference's ``load_circuit`` lifecycle (SURVEY.md §3.1) as
+DataFrame lineage: steps that the reference serializes over Bolt
+round-trips (nodegroup nodes → neuron nodes → membership edges → synapse
+edges → aggregates) become parallel branches off shared cached frames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import aggregate, canonicalize, linking, mentions, parse, sampling, triples
+
+
+@dataclass
+class PipelineConfig:
+    """≙ the reference's env config (main.py:16-18)."""
+
+    node_proportion: float = 1.0
+    edge_proportion: float = 1.0
+    node_set_pops: list[str] | None = None
+    seed: int = 42
+    mention_impl: str = "arrow"  # 'arrow' | 'native'
+    link_strategy: str = "broadcast"  # 'broadcast' | 'salted'
+    salt_buckets: int = 8
+    broadcast_neurons: bool = True
+    rich_aggregates: bool = True
+    group_attrs: list[str] = field(default_factory=lambda: ["HAS_MTYPE", "HAS_SCLASS"])
+
+
+def build_triples(
+    spark: SparkSession,
+    documents: DataFrame,
+    entities: DataFrame,
+    alias_edges: DataFrame | None,
+    config: PipelineConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Run the six-stage plan; returns the output table family.
+
+    Returns dict with:
+      * ``nodes``  — (entity_id, label)
+      * ``attribute_triples`` — deduped neuron-attribute triples
+      * ``synapse_triples``   — multiset SYNAPSES_ONTO with props
+      * ``aggregate_triples`` — AGGREGATED_SYNAPSE_* rows
+      * ``invariant_violations`` — docs whose span sequence broke (audit)
+    """
+    cfg = config or PipelineConfig()
+
+    # stage 1: parse + invariant audit
+    parsed = parse.parse_documents(documents)
+    parsed = parsed.where(F.col("spans_valid"))
+    violations = parse.audit_span_invariant(documents, parsed.select("doc_id", "spans"))
+
+    # stage 2: mention detection (Arrow-batched by default)
+    mention_rows = mentions.detect_mentions(parsed, impl=cfg.mention_impl)
+    synapse_rows = mentions.detect_synapses(parsed, impl=cfg.mention_impl)
+
+    # stage 3: entity linking (broadcast dictionary / salted SMJ)
+    linked = linking.link_mentions(
+        mention_rows, entities, strategy=cfg.link_strategy, salt_buckets=cfg.salt_buckets
+    )
+
+    # stage 4: canonicalization (connected components over alias edges)
+    if alias_edges is not None:
+        mapping = canonicalize.connected_components(alias_edges)
+        linked = canonicalize.apply_canonical_mapping(linked, mapping, "entity_id")
+    linked = linked.localCheckpoint(eager=False)
+
+    # stage 5a: neuron universe + sampling / node-set restriction
+    neurons = triples.known_neurons(linked)
+    neurons = sampling.filter_node_set(neurons, cfg.node_set_pops)
+    neurons = sampling.sample_by_hash(neurons, "neuron_id", cfg.node_proportion, cfg.seed)
+    neurons = neurons.localCheckpoint(eager=False)
+
+    # stage 5b: attribute triples, restricted to surviving neurons
+    attr = triples.neuron_attribute_triples(linked)
+    attr = attr.join(
+        F.broadcast(neurons.withColumnRenamed("neuron_id", "subj"))
+        if cfg.broadcast_neurons
+        else neurons.withColumnRenamed("neuron_id", "subj"),
+        "subj",
+        "left_semi",
+    )
+
+    # stage 5c: synapse endpoints -> canonical ids -> endpoint-existence joins
+    src_link = (
+        linking.link_mentions(
+            synapse_rows.withColumnRenamed("src_surface", "surface"),
+            entities,
+            strategy=cfg.link_strategy,
+            salt_buckets=cfg.salt_buckets,
+        )
+        .withColumnRenamed("entity_id", "src_id")
+        .drop("surface", "entity_type")
+    )
+    both_link = (
+        linking.link_mentions(
+            src_link.withColumnRenamed("tgt_surface", "surface"),
+            entities,
+            strategy=cfg.link_strategy,
+            salt_buckets=cfg.salt_buckets,
+        )
+        .withColumnRenamed("entity_id", "tgt_id")
+        .drop("surface", "entity_type")
+    )
+    if alias_edges is not None:
+        both_link = canonicalize.apply_canonical_mapping(both_link, mapping, "src_id")
+        both_link = canonicalize.apply_canonical_mapping(both_link, mapping, "tgt_id")
+    syn = triples.synapse_triples(both_link, neurons, cfg.broadcast_neurons)
+    syn = sampling.sample_by_hash(syn, "doc_id", cfg.edge_proportion, cfg.seed)
+    syn = syn.localCheckpoint(eager=False)
+
+    # stage 5d: aggregates per group attribute
+    agg_frames: list[DataFrame] = []
+    for pred in cfg.group_attrs:
+        groups = attr.where(F.col("pred") == pred).select(
+            F.col("subj").alias("neuron_id"), F.col("obj").alias("group")
+        )
+        prefix = pred.removeprefix("HAS_")
+        agg_frames.append(
+            aggregate.aggregated_synapse_triples(syn, groups, prefix, cfg.broadcast_neurons)
+        )
+        if cfg.rich_aggregates and pred == "HAS_MTYPE":
+            agg_frames.append(
+                aggregate.rich_aggregated_synapse_triples(
+                    syn, groups, prefix, cfg.broadcast_neurons
+                )
+            )
+
+    nodes = triples.node_table(linked)
+
+    return {
+        "nodes": nodes,
+        "attribute_triples": attr,
+        "synapse_triples": syn,
+        "aggregate_triples": agg_frames,
+        "invariant_violations": violations,
+    }
+
+
+def all_plain_triples(outputs: dict[str, DataFrame]) -> DataFrame:
+    """Union every (subj, pred, obj) for P/R scoring."""
+    frames = [
+        outputs["attribute_triples"].select("subj", "pred", "obj"),
+        outputs["synapse_triples"].select("subj", "pred", "obj"),
+        *[a.select("subj", "pred", "obj") for a in outputs["aggregate_triples"]],
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -1,0 +1,119 @@
+"""End-to-end golden test: fixture documents -> exact reference triple sets.
+
+The expectation (FIXTURES.md §5) is derived from the reference's Cypher
+semantics, computed independently in plain Python
+(``datagen/fixture.golden_triples``) — P/R must be 1.0 at fixture scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sonata_neo4j_loader_spark.datagen import documents as dg
+from sonata_neo4j_loader_spark.datagen import fixture
+from sonata_neo4j_loader_spark.plans import pipeline
+
+
+@pytest.fixture(scope="module", params=["arrow", "native"])
+def outputs(request, spark):
+    docs = dg.fixture_documents(spark)
+    cfg = pipeline.PipelineConfig(mention_impl=request.param)
+    return pipeline.build_triples(
+        spark, docs, dg.fixture_entities(spark), dg.fixture_alias_edges(spark), cfg
+    )
+
+
+def _collect_triples(df):
+    return [(r["subj"], r["pred"], r["obj"]) for r in df.collect()]
+
+
+def test_span_invariant_holds(outputs):
+    assert outputs["invariant_violations"].count() == 0
+
+
+def test_merge_predicates_exact(outputs):
+    golden = fixture.golden_triples()
+    got = _collect_triples(outputs["attribute_triples"])
+    for pred in ["HAS_MTYPE", "HAS_SCLASS", "HAS_ETYPE", "BELONGS_TO", "HAS_MORPHOLOGY"]:
+        expected = golden[pred]
+        actual = {t for t in got if t[1] == pred}
+        assert actual == expected, f"{pred}: {actual ^ expected}"
+
+
+def test_synapses_multiset_exact(outputs):
+    golden = fixture.golden_triples()
+    actual = sorted(_collect_triples(outputs["synapse_triples"]))
+    assert actual == golden["SYNAPSES_ONTO"]
+
+
+def test_precision_no_noise_entities(outputs):
+    # Noise docs must contribute zero triples ("NodeZ#9" is not in the dict).
+    triples = _collect_triples(outputs["attribute_triples"]) + _collect_triples(
+        outputs["synapse_triples"]
+    )
+    assert all("NodeZ" not in s and "NodeQ" not in o for s, _p, o in triples)
+
+
+def test_canonicalization_folds_aliases(outputs):
+    # Alias docs (lowercase surfaces) must land on canonical ids: no
+    # lowercase population/neuron entities anywhere in the output.
+    for s, _p, o in _collect_triples(outputs["attribute_triples"]):
+        assert "nodea" not in s and "nodeb" not in s, s
+        assert "nodea" not in o and "nodeb" not in o, o
+
+
+def test_node_table_labels(outputs):
+    rows = {(r["entity_id"], r["label"]) for r in outputs["nodes"].collect()}
+    assert ("neuron:NodeA:0", "Neuron") in rows
+    assert ("mtype:L4_PC", "MType") in rows
+    assert ("pop:NodeA", "Population") in rows
+    assert ("sclass:INH", "SClass") in rows
+    # canonicalization: variant ids folded away
+    assert not any(e.startswith("neuron:nodea") for e, _ in rows)
+
+
+def test_aggregated_synapse_mtype(outputs):
+    golden = fixture.golden_aggregates("mtype")
+    agg = next(
+        df
+        for df in outputs["aggregate_triples"]
+        if df.select("pred").first()["pred"] == "AGGREGATED_SYNAPSE_MTYPE"
+    )
+    rows = {(r["subj"], r["obj"]): r for r in agg.collect()}
+    assert set(rows) == {
+        (f"mtype:{a}", f"mtype:{b}") for a, b in golden
+    }
+    for (a, b), stats in golden.items():
+        r = rows[(f"mtype:{a}", f"mtype:{b}")]
+        assert r["n_synapses"] == stats["n_synapses"]
+        assert r["avg_conductance"] == pytest.approx(stats["avg_conductance"], abs=1e-9)
+        assert r["avg_delay"] == pytest.approx(stats["avg_delay"], abs=1e-9)
+
+
+def test_aggregated_synapse_sclass(outputs):
+    golden = fixture.golden_aggregates("synapse_class")
+    agg = next(
+        df
+        for df in outputs["aggregate_triples"]
+        if df.select("pred").first()["pred"] == "AGGREGATED_SYNAPSE_SCLASS"
+    )
+    rows = {(r["subj"], r["obj"]): r for r in agg.collect()}
+    assert set(rows) == {(f"sclass:{a}", f"sclass:{b}") for a, b in golden}
+    # FIXTURES.md §5: exactly EXC→INH, INH→EXC, EXC→EXC
+    assert len(rows) == 3
+
+
+def test_rich_aggregates(outputs):
+    golden = fixture.golden_aggregates("mtype")
+    agg = next(
+        df
+        for df in outputs["aggregate_triples"]
+        if df.select("pred").first()["pred"] == "AGGREGATED_SYNAPSE_RICH_MTYPE"
+    )
+    rows = {(r["subj"], r["obj"]): r for r in agg.collect()}
+    for (a, b), stats in golden.items():
+        r = rows[(f"mtype:{a}", f"mtype:{b}")]
+        for m in fixture.EDGE_PROPS:
+            assert r[f"avg_{m}"] == pytest.approx(stats[f"avg_{m}"], abs=1e-9), m
+        dist = r["afferent_distribution"]
+        assert dist == pytest.approx(stats["afferent_distribution"])
