@@ -101,10 +101,12 @@ def _stable_unit(*key: object) -> float:
 def edge_prop_value(edge_seq: int, prop: str) -> float:
     """Synthesized value for property ``prop`` of the ``edge_seq``-th edge.
 
-    Rounded to 6 decimals so the text round-trip (``%.6f`` in documents)
-    is exact and golden aggregates are reproducible bit-for-bit.
+    Rounded to 3 decimals: the text round-trip (``%.6f`` in documents) is
+    exact, and averages over ≤16-edge groups can never land exactly on a
+    round-half boundary at 6 decimals — so Spark, DuckDB, and Python all
+    round identically regardless of rounding mode.
     """
-    return round(0.1 + 9.9 * _stable_unit("edge", edge_seq, prop), 6)
+    return round(0.1 + 9.9 * _stable_unit("edge", edge_seq, prop), 3)
 
 
 def edge_afferent_section_type(edge_seq: int) -> str:

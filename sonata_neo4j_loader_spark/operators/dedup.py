@@ -1,0 +1,304 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram-Jaccard near-dup —
+all pure DataFrame/column expressions (no Python UDFs): shingling,
+MinHash signatures, banding, and Hamming distances are built from
+``transform``/``aggregate``/``xxhash64`` higher-order expressions that stay
+inside whole-stage codegen.
+
+Scale design (the part that matters at 10^12 docs):
+
+* candidate generation is always *bucketed* (LSH band buckets / simhash
+  chunk buckets) — never an all-pairs cross join;
+* within a bucket, pairs are produced by a self-equi-join on the bucket
+  key with ``id_a < id_b``, so Catalyst plans a shuffle hash join on the
+  bucket key; hot buckets are bounded by ``max_bucket_size`` (drop
+  degenerate buckets — e.g. the empty-document shingle set — instead of
+  letting one reducer explode);
+* verification (true Jaccard / cosine) runs only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import char_shingles, fingerprint, normalized_text
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of exact duplicates (normalized text): one row per group with
+    the surviving (min) id, member count, and member ids."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Survivors of exact dedup: the min-id doc per normalized-text group.
+
+    One shuffle (the groupBy); survivors come back via a self-semi-join on
+    (fingerprint, id) so full rows are preserved without carrying payload
+    columns through the aggregation.
+    """
+    keep = exact_duplicate_groups(df, id_col, text_col).select(
+        "fingerprint", F.col("keep_id").alias(id_col)
+    )
+    return df.withColumn("fingerprint", fingerprint(text_col)).join(
+        keep, ["fingerprint", id_col], "left_semi"
+    ).drop("fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32, seed: int = 42
+) -> Column:
+    """MinHash signature (array<bigint> of length ``num_hashes``).
+
+    h_i(S) = min over s in S of xxhash64(s, seed+i); empty sets get nulls.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(seed + i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    signature → ``bands`` bands of ``num_hashes/bands`` rows; docs agreeing
+    on any full band share a bucket; within-bucket self-join emits pairs
+    (id_a < id_b), deduped across bands. Buckets larger than
+    ``max_bucket_size`` are dropped (degenerate content); at 10^12 docs this
+    bound is what keeps the band-join skew-free.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(char_shingles(text_col, shingle_k), num_hashes, seed).alias("sig"),
+    )
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    # bucket-size bound without a window: aggregate then semi-join
+    small_buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
+        .select("band", "bucket")
+    )
+    bounded = banded.join(small_buckets, ["band", "bucket"], "left_semi")
+    a = bounded.select("band", "bucket", F.col("_id").alias("id_a"))
+    b = bounded.select("band", "bucket", F.col("_id").alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """True shingle-Jaccard on candidate pairs; keep pairs ≥ threshold."""
+    sh = df.select(F.col(id_col), char_shingles(text_col, shingle_k))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by true Jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, shingle_k, num_hashes, bands, seed
+    )
+    return jaccard_verify(cands, df, id_col, text_col, shingle_k, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_expr(shingles_col: str, seed: int = 42) -> Column:
+    """64-bit SimHash of a shingle-array column, as bigint.
+
+    Per-bit vote: sum over shingles of ±1 by bit of xxhash64(shingle);
+    bit j of the result = (vote_j > 0). Pure higher-order SQL expressions
+    (the python ``shiftright`` helper only takes literal shift amounts, so
+    this is authored as SQL): one ``aggregate`` over the shingle array with
+    a 64-long accumulator — no explode, no shuffle.
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform({shingles_col}, s -> xxhash64(s, {seed})),
+              transform(sequence(0, 63), j -> cast(0 as bigint)),
+              (acc, h) -> zip_with(
+                acc,
+                transform(sequence(0, 63),
+                          j -> if((shiftright(h, cast(j as int)) & 1) = 1,
+                                  cast(1 as bigint), cast(-1 as bigint))),
+                (a, v) -> a + v)
+            ),
+            sequence(0, 63),
+            (v, j) -> if(v > 0, shiftleft(cast(1 as bigint), cast(j as int)),
+                         cast(0 as bigint))
+          ),
+          cast(0 as bigint),
+          (acc, x) -> acc | x
+        )
+        """
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation: 16-bit chunk banding (two signatures within
+    Hamming ≤ 3 must agree on ≥1 of 4 chunks — pigeonhole); exact
+    ``bit_count(xor)`` verification on candidates.
+    """
+    sh = df.select(F.col(id_col).alias("_id"), char_shingles(text_col, shingle_k)).select(
+        "_id", simhash_expr("shingles", seed).alias("sh")
+    )
+    chunked = sh.select(
+        "_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cb"),
+    ).select("_id", "sh", "cb.chunk", "cb.val")
+    a = chunked.select("chunk", "val", F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = chunked.select("chunk", "val", F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (brute within buckets) & embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs shingle Jaccard ≥ threshold (small inputs / oracle checks).
+
+    k=1 matches DuckDB's character-set ``jaccard`` for cross-validation.
+    At scale, use :func:`minhash_near_duplicates` — this one is the exact
+    reference implementation.
+    """
+    sh = df.select(F.col(id_col), char_shingles(text_col, shingle_k))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

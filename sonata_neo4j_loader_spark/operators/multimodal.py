@@ -1,0 +1,121 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages. The decode kernels themselves are
+STUBBED (no image/audio libraries in this container): ``deterministic=True``
+substitutes a seeded fake decoder so the Spark-side plumbing — schema,
+batch shape, partitioning — is real and testable; ``deterministic=False``
+raises ``NotImplementedError`` where a real codec (Pillow/ffmpeg) would be
+called.
+
+Batch-shape contract: ``mapInPandas`` receives an iterator of
+pandas.DataFrame batches (one per Arrow record batch, bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``); each kernel is pure and
+per-batch, so partitioning is free to change without affecting results.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("feature", ArrayType(FloatType()), True),
+        StructField("n_frames_sampled", IntegerType(), True),
+    ]
+)
+
+
+def synthesize_media(spark, refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """Deterministic fake media table for the given refs (payload = seeded
+    bytes, metadata derived from the ref hash). Real pipelines read these
+    from object storage; shape is identical."""
+    h = F.xxhash64(F.col(ref_col))
+    return refs.select(
+        F.col(ref_col).alias("media_ref"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(h, F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.format_string("payload:%d", h), "utf-8").cast("binary").alias("payload"),
+        (F.pmod(h, F.lit(1920)) + 16).cast("int").alias("width"),
+        (F.pmod(h, F.lit(1080)) + 16).cast("int").alias("height"),
+        (F.pmod(h, F.lit(60000)) + 100).cast("int").alias("duration_ms"),
+    )
+
+
+def _fake_feature(ref: str, media_type: str, dim: int) -> np.ndarray:
+    seed = int.from_bytes(
+        hashlib.blake2b(f"{media_type}:{ref}".encode(), digest_size=4).digest(), "big"
+    )
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def extract_features(
+    media: DataFrame,
+    dim: int = 16,
+    frame_stride_ms: int = 1000,
+    deterministic: bool = True,
+) -> DataFrame:
+    """Decode + feature-extract (+ frame-sample for video) via mapInPandas.
+
+    With ``deterministic=False`` this is where Pillow/librosa/ffmpeg would
+    decode ``payload``; the container has none, so only the seeded fake
+    path is executable (clearly marked).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic:
+                raise NotImplementedError(
+                    "real media decoding requires Pillow/librosa/ffmpeg; "
+                    "not available in this environment"
+                )
+            feats = [
+                _fake_feature(r, t, dim).tolist()
+                for r, t in zip(pdf["media_ref"], pdf["media_type"], strict=True)
+            ]
+            n_frames = [
+                int(max(1, d // frame_stride_ms)) if t == "video" else None
+                for t, d in zip(pdf["media_type"], pdf["duration_ms"], strict=True)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "feature": feats,
+                    "n_frames_sampled": pd.array(n_frames, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)

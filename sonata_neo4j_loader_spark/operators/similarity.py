@@ -1,0 +1,216 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`brute_force_topk` — exact cosine top-k, the correctness baseline.
+  Query set broadcast against the corpus; ranking via window. O(|Q|·N) —
+  fine for small query sets at any corpus size, the yardstick for recall.
+* :func:`lsh_ann_topk` — random-hyperplane LSH (SimHash-for-vectors) as the
+  scale path: deterministic pseudo-random planes derived from xxhash64 (no
+  stored model), multi-band bucket join, exact cosine re-rank of
+  candidates. Recall is tested against the brute-force baseline.
+
+Dot products run as ``aggregate(zip_with(...))`` higher-order expressions —
+JVM-side, no UDF, no explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cos) — k rows per query.
+
+    Queries are broadcast (small side); corpus is never shuffled until the
+    per-query ranking, which partitions by query_id (|Q| partitions).
+    Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+        .join(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def _plane_bit(vec: Column, plane: int, dim: int, seed: int) -> Column:
+    """Sign bit of <vec, plane_p> with plane components derived from
+    xxhash64(plane, dim, seed) ∈ [-1, 1] — deterministic, model-free."""
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.lit(plane), j, F.lit(seed)), F.lit(2000001)).cast("double")
+            - 1000000.0
+        )
+        / 1000000.0,
+    )
+    return (
+        F.aggregate(
+            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        >= 0
+    )
+
+
+def lsh_bucket_bits(vec: Column, n_planes: int, dim: int, seed: int = 42) -> Column:
+    """Pack ``n_planes`` hyperplane sign bits into a bigint bucket key."""
+    out = F.lit(0).cast("long")
+    for p in range(n_planes):
+        out = out.bitwiseOR(
+            F.when(_plane_bit(vec, p, dim, seed), F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_planes: int = 12,
+    bands: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket join + exact re-rank.
+
+    ``n_planes`` sign bits split into ``bands`` bands; query and corpus
+    vectors agreeing on any full band become candidates; exact cosine
+    re-ranks. At 10^12 scale the bucket join replaces the O(|Q|·N) scan
+    with |Q|·(expected bucket size)·bands work; band count trades recall
+    for cost.
+    """
+    bits_per_band = n_planes // bands
+
+    def band_structs(vec: Column) -> Column:
+        bits = lsh_bucket_bits(vec, n_planes, dim, seed)
+        mask = (1 << bits_per_band) - 1
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(bits, b * bits_per_band)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(band_structs(F.col(vec_col))).alias("bb"),
+    ).select("vec_id", "c_vec", "bb.band", "bb.bucket")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(band_structs(F.col(vec_col))).alias("bb"),
+    ).select("query_id", "q_vec", "bb.band", "bb.bucket")
+    cands = (
+        c.join(F.broadcast(q), ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    bands: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ threshold) via LSH buckets."""
+    def band_structs(vec: Column) -> Column:
+        bits = lsh_bucket_bits(vec, n_planes, dim, seed)
+        bpb = n_planes // bands
+        mask = (1 << bpb) - 1
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(bits, b * bpb).bitwiseAND(F.lit(mask)).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+
+    e = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(band_structs(F.col(vec_col))).alias("bb"),
+    ).select("_id", "vec", "bb.band", "bb.bucket")
+    a = e.select("band", "bucket", F.col("_id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = e.select("band", "bucket", F.col("_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

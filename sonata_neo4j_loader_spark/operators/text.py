@@ -1,0 +1,114 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure ``pyspark.sql.functions`` column expressions (JVM-side,
+whole-stage codegen) — no Python in the hot path. Each has a matching
+ANSI-SQL oracle in ``__spark_entry__.oracle_sql`` so DuckDB cross-checks
+values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword markers for the n-gram language heuristic.
+# Deliberately tiny + deterministic: the oracle re-implements the same rule.
+_LANG_MARKERS: list[tuple[str, str]] = [
+    ("en", " the "),
+    ("de", " der "),
+    ("fr", " le "),
+    ("es", " el "),
+]
+
+_EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def token_count(col: str = "text") -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    trimmed = F.trim(F.col(col))
+    return F.when(trimmed == "", 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).alias("token_count")
+
+
+def word_tokens(col: str = "text") -> Column:
+    """BPE-ish tokenization: word pieces OR single non-space symbols."""
+    return F.expr(
+        rf"regexp_extract_all({col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"
+    ).alias("word_tokens")
+
+
+def lang_id(col: str = "text") -> Column:
+    """Heuristic language ID: first matching stopword marker, else 'und'.
+
+    Deterministic n-gram-style heuristic (marker substring on the padded,
+    lowercased text); the priority order is fixed so Spark and the DuckDB
+    oracle agree on ties.
+    """
+    padded = F.concat(F.lit(" "), F.lower(F.col(col)), F.lit(" "))
+    expr = F.lit("und")
+    for lang, marker in reversed(_LANG_MARKERS):
+        expr = F.when(padded.contains(marker), lang).otherwise(expr)
+    return expr.alias("lang_id")
+
+
+def quality_score(col: str = "text") -> Column:
+    """Composite [0,1] quality score from length/punct/stopword ratios.
+
+    score = 0.4·min(1, words/100) + 0.3·(1 − punct_ratio) + 0.3·min(1, 5·stop_ratio)
+    rounded to 6 decimals for oracle-stable comparison.
+    """
+    trimmed = F.trim(F.col(col))
+    n_words = F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+")))
+    n_chars = F.length(F.col(col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(col), r"[^\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    words = F.split(F.lower(trimmed), r"\s+")
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(_EN_STOPWORDS))
+    )
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    score = (
+        0.4 * F.least(F.lit(1.0), n_words / F.lit(100.0))
+        + 0.3 * (F.lit(1.0) - punct_ratio)
+        + 0.3 * F.least(F.lit(1.0), 5.0 * stop_ratio)
+    )
+    return F.round(score, 6).alias("quality_score")
+
+
+def fingerprint(col: str = "text", normalize: bool = True) -> Column:
+    """Document fingerprint: 64-bit hash of the normalized text.
+
+    Normalization = lowercase + collapse whitespace — so formatting-only
+    variants collide (the useful property for dedup). xxhash64 keeps it
+    JVM-side; the exact-dedup operator uses the same normalization.
+    """
+    c: Column = F.col(col)
+    if normalize:
+        c = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return F.xxhash64(c).alias("fingerprint")
+
+
+def normalized_text(col: str = "text") -> Column:
+    return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ").alias(
+        "normalized_text"
+    )
+
+
+def char_shingles(col: str = "text", k: int = 5) -> Column:
+    """Distinct character k-grams of the normalized text (array<string>).
+
+    Built with sequence+transform — stays in codegen, no UDF.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+    n = F.length(norm)
+    return F.when(
+        n < k, F.array(norm)
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: norm.substr(i, F.lit(k)),
+            )
+        )
+    ).alias("shingles")
