@@ -1,0 +1,133 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1, "kg_docs_per_sec": ...}
+
+The KG-pipeline bench reads a pre-materialized synthetic interleaved
+corpus (parquet, built once per sf under /tmp) so the measured time is
+read → parse → mention-detect → link → canonicalize → triples →
+aggregate, i.e. docs/sec of the whole engine, I/O included.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+``tools/bench_scaling.py`` and recorded in ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from sonata_neo4j_loader_spark.datagen import documents as dg  # noqa: E402
+from sonata_neo4j_loader_spark.plans import pipeline  # noqa: E402
+from sonata_neo4j_loader_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_unshipped_orders",
+    "q5_nation_revenue",
+    "q18_large_orders",
+    "top_orders_per_customer",
+    "events_sessions",
+    "text_stats",
+    "dedup_exact_groups",
+    "minhash_near_dups",
+    "ann_brute_topk",
+]
+
+# synthetic KG corpus: ~2M docs per unit sf (sf0.1 -> 200k docs)
+DOCS_PER_SF = 2_000_000
+KG_GEN = dict(n_populations=8, neurons_per_pop=1000)
+
+
+def _force(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def prepare_kg_corpus(spark: SparkSession, sf: float, partitions: int) -> tuple[str, int]:
+    n_docs = max(2000, int(DOCS_PER_SF * sf))
+    n_node = int(n_docs * 0.4)
+    n_edge = int(n_docs * 0.5)
+    n_noise = n_docs - n_node - n_edge
+    path = f"/tmp/kg_bench_corpus_sf{sf}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = dg.synthetic_documents(
+            spark, n_node, n_edge, n_noise, partitions=partitions, **KG_GEN
+        )
+        docs.write.mode("overwrite").parquet(path)
+    return path, n_docs
+
+
+def run_kg_pipeline(spark: SparkSession, corpus_path: str) -> dict[str, int]:
+    docs = spark.read.parquet(corpus_path)
+    entities = dg.synthetic_entities(spark, **KG_GEN)
+    aliases = dg.synthetic_alias_edges(spark, **KG_GEN)
+    out = pipeline.build_triples(spark, docs, entities, aliases)
+    counts = {}
+    counts["attr"] = out["attribute_triples"].count()
+    counts["syn"] = out["synapse_triples"].count()
+    counts["agg"] = sum(df.count() for df in out["aggregate_triples"])
+    return counts
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    corpus_path, n_docs = prepare_kg_corpus(spark, sf, partitions=max(cpus, 16))
+    t0 = time.perf_counter()
+    counts = run_kg_pipeline(spark, corpus_path)
+    kg_sec = time.perf_counter() - t0
+    times["kg_pipeline"] = round(kg_sec, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "kg_docs": n_docs,
+                "kg_docs_per_sec": round(n_docs / kg_sec, 1),
+                "kg_triples": counts,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -218,7 +218,7 @@ def synthetic_documents(
     total_neurons = n_populations * neurons_per_pop
 
     def pop_expr(neuron):
-        return F.format_string("Pop%03d", (neuron % total_neurons) / neurons_per_pop)
+        return F.format_string("Pop%03d", F.floor((neuron % total_neurons) / neurons_per_pop))
 
     def nid_expr(neuron):
         return (neuron % total_neurons) % neurons_per_pop
@@ -317,19 +317,19 @@ def synthetic_entities(
     total = n_populations * neurons_per_pop
     neurons = spark.range(total).select(
         F.format_string(
-            "Pop%03d#%d", F.col("id") / neurons_per_pop, F.col("id") % neurons_per_pop
+            "Pop%03d#%d", F.floor(F.col("id") / neurons_per_pop), F.col("id") % neurons_per_pop
         ).alias("surface"),
         F.format_string(
-            "neuron:Pop%03d:%d", F.col("id") / neurons_per_pop, F.col("id") % neurons_per_pop
+            "neuron:Pop%03d:%d", F.floor(F.col("id") / neurons_per_pop), F.col("id") % neurons_per_pop
         ).alias("entity_id"),
         F.lit("neuron").alias("entity_type"),
     )
     neurons_lc = spark.range(total).select(
         F.format_string(
-            "pop%03d#%d", F.col("id") / neurons_per_pop, F.col("id") % neurons_per_pop
+            "pop%03d#%d", F.floor(F.col("id") / neurons_per_pop), F.col("id") % neurons_per_pop
         ).alias("surface"),
         F.format_string(
-            "neuron:pop%03d:%d", F.col("id") / neurons_per_pop, F.col("id") % neurons_per_pop
+            "neuron:pop%03d:%d", F.floor(F.col("id") / neurons_per_pop), F.col("id") % neurons_per_pop
         ).alias("entity_id"),
         F.lit("neuron").alias("entity_type"),
     )
@@ -362,7 +362,7 @@ def synthetic_entities(
             "morph://m%012d",
             F.pmod(
                 F.xxhash64(
-                    F.format_string("Pop%03d", F.col("id") / neurons_per_pop),
+                    F.format_string("Pop%03d", F.floor(F.col("id") / neurons_per_pop)),
                     F.col("id") % neurons_per_pop,
                     F.lit("mo"),
                 ),
@@ -373,7 +373,7 @@ def synthetic_entities(
             "morphology:m%012d",
             F.pmod(
                 F.xxhash64(
-                    F.format_string("Pop%03d", F.col("id") / neurons_per_pop),
+                    F.format_string("Pop%03d", F.floor(F.col("id") / neurons_per_pop)),
                     F.col("id") % neurons_per_pop,
                     F.lit("mo"),
                 ),
@@ -400,10 +400,10 @@ def synthetic_alias_edges(
     total = n_populations * neurons_per_pop
     neuron_pairs = spark.range(total).select(
         F.format_string(
-            "neuron:pop%03d:%d", F.col("id") / neurons_per_pop, F.col("id") % neurons_per_pop
+            "neuron:pop%03d:%d", F.floor(F.col("id") / neurons_per_pop), F.col("id") % neurons_per_pop
         ).alias("alias_a"),
         F.format_string(
-            "neuron:Pop%03d:%d", F.col("id") / neurons_per_pop, F.col("id") % neurons_per_pop
+            "neuron:Pop%03d:%d", F.floor(F.col("id") / neurons_per_pop), F.col("id") % neurons_per_pop
         ).alias("alias_b"),
     )
     pop_pairs = spark.range(n_populations).select(

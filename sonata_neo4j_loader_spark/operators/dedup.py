@@ -23,7 +23,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import char_shingles, fingerprint, normalized_text
+from .text import add_shingles, fingerprint, normalized_text
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition compute-heavy inputs that arrive under-partitioned.
+
+    A small parquet file scans as a single partition; shingling/hashing is
+    CPU-bound, so one task would serialize the whole job. Hash-partition on
+    the id so results stay deterministic. No-op when the input already has
+    enough parallelism (the 10^12-doc case).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -62,18 +77,46 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _affine_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine MinHash family."""
+    import hashlib as _hl
+
+    out = []
+    for i in range(num_hashes):
+        d = _hl.blake2b(f"minhash:{seed}:{i}".encode(), digest_size=8).digest()
+        a = (int.from_bytes(d[:4], "big") % (_MERSENNE31 - 1)) + 1
+        b = int.from_bytes(d[4:], "big") % _MERSENNE31
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(
     shingles: Column, num_hashes: int = 32, seed: int = 42
 ) -> Column:
     """MinHash signature (array<bigint> of length ``num_hashes``).
 
-    h_i(S) = min over s in S of xxhash64(s, seed+i); empty sets get nulls.
+    One string hash per shingle (xxhash64 masked to 31 bits), then the
+    classic affine family h_i(x) = (a_i·x + b_i) mod (2^31−1) — the 31-bit
+    mask keeps a_i·x inside a 64-bit long under ANSI mode, and the string
+    hashing cost is paid once, not ``num_hashes`` times.
+
+    NOTE: callers should bind ``shingles`` to a *projected column*, not an
+    inline expression — Catalyst inlines expression arguments into every
+    signature branch (see :func:`minhash_lsh_candidates`).
     """
+    hashed = F.transform(
+        shingles, lambda s: F.xxhash64(s, F.lit(seed)).bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+    params = _affine_params(num_hashes, seed)
+
+    def affine(a: int, b: int):
+        return lambda h: F.pmod(a * h + b, F.lit(_MERSENNE31))
+
     return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(seed + i))))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(hashed, affine(a, b))) for (a, b) in params]
     )
 
 
@@ -96,9 +139,30 @@ def minhash_lsh_candidates(
     bound is what keeps the band-join skew-free.
     """
     rows_per_band = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(char_shingles(text_col, shingle_k), num_hashes, seed).alias("sig"),
+    # Two projection steps: shingles materialize once per row, then the 31-bit
+    # shingle hashes once, and only then the num_hashes signature branches —
+    # passing the shingle expression inline would make Catalyst recompute the
+    # whole substring/transform tree in every branch.
+    hashed = add_shingles(
+        _spread(df.select(F.col(id_col).alias("_id"), text_col), "_id"),
+        text_col,
+        shingle_k,
+    ).select(
+        "_id",
+        F.transform(
+            "shingles", lambda s: F.xxhash64(s, F.lit(seed)).bitwiseAND(F.lit(0x7FFFFFFF))
+        ).alias("hs"),
+    )
+    params = _affine_params(num_hashes, seed)
+
+    def affine(a: int, b: int):
+        return lambda h: F.pmod(a * h + b, F.lit(_MERSENNE31))
+
+    sigs = hashed.select(
+        "_id",
+        F.array(
+            *[F.array_min(F.transform("hs", affine(a, b))) for (a, b) in params]
+        ).alias("sig"),
     )
     banded = sigs.select(
         "_id",
@@ -149,7 +213,9 @@ def jaccard_verify(
     threshold: float = 0.8,
 ) -> DataFrame:
     """True shingle-Jaccard on candidate pairs; keep pairs ≥ threshold."""
-    sh = df.select(F.col(id_col), char_shingles(text_col, shingle_k))
+    sh = add_shingles(
+        _spread(df.select(F.col(id_col), text_col), id_col), text_col, shingle_k
+    ).select(id_col, "shingles")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -237,9 +303,11 @@ def simhash_near_duplicates(
     Hamming ≤ 3 must agree on ≥1 of 4 chunks — pigeonhole); exact
     ``bit_count(xor)`` verification on candidates.
     """
-    sh = df.select(F.col(id_col).alias("_id"), char_shingles(text_col, shingle_k)).select(
-        "_id", simhash_expr("shingles", seed).alias("sh")
-    )
+    sh = add_shingles(
+        _spread(df.select(F.col(id_col).alias("_id"), text_col), "_id"),
+        text_col,
+        shingle_k,
+    ).select("_id", simhash_expr("shingles", seed).alias("sh"))
     chunked = sh.select(
         "_id",
         "sh",
@@ -285,7 +353,9 @@ def ngram_jaccard_pairs(
     At scale, use :func:`minhash_near_duplicates` — this one is the exact
     reference implementation.
     """
-    sh = df.select(F.col(id_col), char_shingles(text_col, shingle_k))
+    sh = add_shingles(
+        _spread(df.select(F.col(id_col), text_col), id_col), text_col, shingle_k
+    ).select(id_col, "shingles")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (

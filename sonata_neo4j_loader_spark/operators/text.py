@@ -95,12 +95,16 @@ def normalized_text(col: str = "text") -> Column:
     )
 
 
-def char_shingles(col: str = "text", k: int = 5) -> Column:
-    """Distinct character k-grams of the normalized text (array<string>).
+def shingle_expr(norm_col: str, k: int = 5) -> Column:
+    """Distinct character k-grams of an ALREADY-NORMALIZED text column.
 
-    Built with sequence+transform — stays in codegen, no UDF.
+    ``norm_col`` must be a plain column reference (attribute), not an
+    expression: a lambda body re-evaluates every captured expression per
+    array element, so an inlined regexp-normalization would run once per
+    shingle instead of once per row (a ~100× slowdown observed at bench).
+    Use :func:`add_shingles` for the safe two-projection shape.
     """
-    norm = F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+    norm = F.col(norm_col)
     n = F.length(norm)
     return F.when(
         n < k, F.array(norm)
@@ -111,4 +115,17 @@ def char_shingles(col: str = "text", k: int = 5) -> Column:
                 lambda i: norm.substr(i, F.lit(k)),
             )
         )
-    ).alias("shingles")
+    )
+
+
+def add_shingles(
+    df, text_col: str = "text", k: int = 5, out_col: str = "shingles"
+):
+    """df + ``out_col`` array<string>: normalize in one projection, shingle
+    from the materialized attribute in the next (codegen evaluates each
+    projection's expressions once per row)."""
+    return (
+        df.withColumn("__norm", normalized_text(text_col))
+        .withColumn(out_col, shingle_expr("__norm", k))
+        .drop("__norm")
+    )

@@ -50,6 +50,12 @@ def build_triples(
     """
     cfg = config or PipelineConfig()
 
+    # The dictionary and alias mapping are dimension-sized and reused by
+    # three link passes / three rewrites — materialize once (localCheckpoint
+    # truncates lineage so the broadcast rebuild doesn't recompute the
+    # generator/scan each time).
+    entities = entities.localCheckpoint(eager=False)
+
     # stage 1: parse + invariant audit
     parsed = parse.parse_documents(documents)
     parsed = parsed.where(F.col("spans_valid"))
@@ -66,7 +72,9 @@ def build_triples(
 
     # stage 4: canonicalization (connected components over alias edges)
     if alias_edges is not None:
-        mapping = canonicalize.connected_components(alias_edges)
+        mapping = canonicalize.connected_components(alias_edges).localCheckpoint(
+            eager=False
+        )
         linked = canonicalize.apply_canonical_mapping(linked, mapping, "entity_id")
     linked = linked.localCheckpoint(eager=False)
 
@@ -84,7 +92,7 @@ def build_triples(
         else neurons.withColumnRenamed("neuron_id", "subj"),
         "subj",
         "left_semi",
-    )
+    ).localCheckpoint(eager=False)
 
     # stage 5c: synapse endpoints -> canonical ids -> endpoint-existence joins
     src_link = (
