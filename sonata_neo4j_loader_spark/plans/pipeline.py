@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import aggregate, canonicalize, linking, mentions, parse, sampling, triples
+from ..sinks import materialize as mat
 
 
 @dataclass
@@ -147,6 +148,36 @@ def build_triples(
         "synapse_triples": syn,
         "aggregate_triples": agg_frames,
         "invariant_violations": violations,
+    }
+
+
+def materialize_outputs(
+    outputs: dict[str, DataFrame], root: str, num_buckets: int = 64
+) -> dict[str, mat.MaterializeReport]:
+    """Stage 6 — commit the table family with per-partition lineage.
+
+    Each logical table gets its own bucketed-Parquet + manifest directory
+    (≙ the reference's constraint keys, scripts/load_circuit.py:30-36:
+    nodes key on entity_id, edges on their endpoint pair). Re-running after
+    a kill resumes: finished partitions are fingerprint-matched and skipped
+    (see sinks/materialize.py).
+    """
+    agg_all = outputs["aggregate_triples"]
+    agg_union = agg_all[0].select("subj", "pred", "obj")
+    for a in agg_all[1:]:
+        agg_union = agg_union.unionByName(a.select("subj", "pred", "obj"))
+    jobs = {
+        "nodes": (outputs["nodes"], ["entity_id"]),
+        "attribute_triples": (outputs["attribute_triples"], ["subj"]),
+        "synapse_triples": (
+            outputs["synapse_triples"].select("doc_id", "subj", "pred", "obj", "props"),
+            ["subj", "obj"],
+        ),
+        "aggregate_triples": (agg_union, ["subj", "obj"]),
+    }
+    return {
+        name: mat.materialize(df, f"{root}/{name}", keys, num_buckets, stage=name)
+        for name, (df, keys) in jobs.items()
     }
 
 
