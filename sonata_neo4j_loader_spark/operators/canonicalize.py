@@ -62,23 +62,74 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+#: below this many alias edges the mapping is broadcast-dimension-sized
+#: (apply_canonical_mapping broadcasts it anyway) and a driver-side
+#: union-find beats ~7 shuffle stages/round of the star algorithm.
+LOCAL_CC_MAX_EDGES = 5_000_000
+
+
+def _local_union_find(spark, us, vs) -> DataFrame:
+    """Driver-side DSU with path compression over a *dimension-sized* edge set.
+
+    Scale contract: only invoked when the alias set fits the broadcast
+    budget — the very same budget `apply_canonical_mapping` already
+    requires to broadcast the resulting mapping. Corpus-sized data never
+    takes this path (see `connected_components` strategy='auto').
+    Duplicate edges are harmless to DSU, so no distinct pass is needed.
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(us, vs):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    members = set(us) | set(vs)
+    rows = [(m, find(m)) for m in sorted(members)]
+    return spark.createDataFrame(rows, "entity_id string, canonical_id string")
+
+
 def connected_components(
     alias_edges: DataFrame,
     a_col: str = "alias_a",
     b_col: str = "alias_b",
     max_iter: int = 20,
+    strategy: str = "auto",
 ) -> DataFrame:
     """alias edges -> (entity_id, canonical_id) for every non-isolated node.
 
     ``canonical_id`` is the min member of the node's component. Isolated
     nodes (no alias) simply never appear — callers coalesce to identity.
+
+    ``strategy``: 'distributed' = alternating-star contraction (any scale);
+    'local' = driver union-find (broadcast-sized alias sets only); 'auto' =
+    count the edges and pick (≙ Spark's own broadcast-vs-SMJ threshold
+    decision). Both paths return identical mappings (tested).
     """
-    edges = (
-        alias_edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    raw = alias_edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).where(
+        F.col("u") != F.col("v")
     )
+    if strategy in ("auto", "local"):
+        # single size-probe job: fetch at most MAX+1 edges; a full count is
+        # never needed to decide the path
+        probe = raw.limit(LOCAL_CC_MAX_EDGES + 1).toPandas()
+        if len(probe) <= LOCAL_CC_MAX_EDGES:
+            return _local_union_find(
+                raw.sparkSession, probe["u"].tolist(), probe["v"].tolist()
+            )
+        if strategy == "local":
+            raise ValueError(
+                f"alias edge set exceeds local budget ({LOCAL_CC_MAX_EDGES}); "
+                "use strategy='distributed'"
+            )
+    edges = raw.distinct().localCheckpoint(eager=True)
     prev_fp = None
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)

@@ -27,6 +27,7 @@ class PipelineConfig:
     seed: int = 42
     mention_impl: str = "arrow"  # 'arrow' | 'native'
     link_strategy: str = "broadcast"  # 'broadcast' | 'salted'
+    cc_strategy: str = "auto"  # 'auto' | 'local' | 'distributed'
     salt_buckets: int = 8
     broadcast_neurons: bool = True
     rich_aggregates: bool = True
@@ -52,10 +53,13 @@ def build_triples(
     cfg = config or PipelineConfig()
 
     # The dictionary and alias mapping are dimension-sized and reused by
-    # three link passes / three rewrites — materialize once (localCheckpoint
-    # truncates lineage so the broadcast rebuild doesn't recompute the
-    # generator/scan each time).
-    entities = entities.localCheckpoint(eager=False)
+    # three link passes / three rewrites — persist() them. persist (not
+    # localCheckpoint) matters: with AQE on, even a *lazy* localCheckpoint
+    # executes every upstream query stage at DAG-build time
+    # (AdaptiveSparkPlanExec materializes intermediate stages on toRdd),
+    # serializing the pipeline; persist stays truly lazy, keeps the plan
+    # Catalyst-visible, and lets one final action fuse + share everything.
+    entities = entities.persist()
 
     # stage 1: parse + invariant audit
     parsed = parse.parse_documents(documents)
@@ -73,17 +77,17 @@ def build_triples(
 
     # stage 4: canonicalization (connected components over alias edges)
     if alias_edges is not None:
-        mapping = canonicalize.connected_components(alias_edges).localCheckpoint(
-            eager=False
-        )
+        mapping = canonicalize.connected_components(
+            alias_edges, strategy=cfg.cc_strategy
+        ).persist()
         linked = canonicalize.apply_canonical_mapping(linked, mapping, "entity_id")
-    linked = linked.localCheckpoint(eager=False)
+    linked = linked.persist()
 
     # stage 5a: neuron universe + sampling / node-set restriction
     neurons = triples.known_neurons(linked)
     neurons = sampling.filter_node_set(neurons, cfg.node_set_pops)
     neurons = sampling.sample_by_hash(neurons, "neuron_id", cfg.node_proportion, cfg.seed)
-    neurons = neurons.localCheckpoint(eager=False)
+    neurons = neurons.persist()
 
     # stage 5b: attribute triples, restricted to surviving neurons
     attr = triples.neuron_attribute_triples(linked)
@@ -93,7 +97,7 @@ def build_triples(
         else neurons.withColumnRenamed("neuron_id", "subj"),
         "subj",
         "left_semi",
-    ).localCheckpoint(eager=False)
+    ).persist()
 
     # stage 5c: synapse endpoints -> canonical ids -> endpoint-existence joins
     src_link = (
@@ -121,7 +125,7 @@ def build_triples(
         both_link = canonicalize.apply_canonical_mapping(both_link, mapping, "tgt_id")
     syn = triples.synapse_triples(both_link, neurons, cfg.broadcast_neurons)
     syn = sampling.sample_by_hash(syn, "doc_id", cfg.edge_proportion, cfg.seed)
-    syn = syn.localCheckpoint(eager=False)
+    syn = syn.persist()
 
     # stage 5d: aggregates per group attribute
     agg_frames: list[DataFrame] = []

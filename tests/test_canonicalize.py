@@ -1,0 +1,51 @@
+"""Both connected-components strategies must return identical mappings.
+
+The graph below mixes chains, a star, a cycle, and isolated-pair clusters —
+shapes that stress min-propagation across multiple star-contraction rounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sonata_neo4j_loader_spark.operators import canonicalize
+
+
+EDGES = (
+    # chain a-b-c-d (min 'a' must propagate 3 hops)
+    [("b", "a"), ("c", "b"), ("d", "c")]
+    # star centered on z
+    + [("z", "z1"), ("z", "z2"), ("z", "z3")]
+    # cycle p-q-r-p
+    + [("p", "q"), ("q", "r"), ("r", "p")]
+    # pair + duplicate + self-loop noise
+    + [("m", "n"), ("n", "m"), ("m", "m")]
+)
+
+EXPECTED = {
+    "b": "a", "c": "a", "d": "a",
+    "z1": "z", "z2": "z", "z3": "z",
+    "q": "p", "r": "p",
+    "n": "m",
+    # min members map to themselves (appear because they're non-isolated)
+    "a": "a", "z": "z", "p": "p", "m": "m",
+}
+
+
+@pytest.mark.parametrize("strategy", ["local", "distributed"])
+def test_cc_strategies_agree(spark, strategy):
+    edges = spark.createDataFrame(EDGES, "alias_a string, alias_b string")
+    got = {
+        r.entity_id: r.canonical_id
+        for r in canonicalize.connected_components(edges, strategy=strategy).collect()
+    }
+    assert got == EXPECTED
+
+
+def test_cc_auto_picks_local_for_small(spark):
+    edges = spark.createDataFrame(EDGES, "alias_a string, alias_b string")
+    got = {
+        r.entity_id: r.canonical_id
+        for r in canonicalize.connected_components(edges, strategy="auto").collect()
+    }
+    assert got == EXPECTED
