@@ -19,6 +19,7 @@ from sonata_neo4j_loader_spark.datagen import documents as dg
 from sonata_neo4j_loader_spark.datagen import fixture
 from sonata_neo4j_loader_spark.operators import dedup, multimodal, similarity, text
 from sonata_neo4j_loader_spark.plans import pipeline
+from sonata_neo4j_loader_spark.sources import spikes as sp
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -392,6 +393,40 @@ def kg_aggregated_mtype(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spike_has_spike_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulation extension over `events`: click events are spike events.
+
+    ≙ reference ``insert_spike_relationships`` (utils.py:84-96): spike-id
+    mint (vectorized, not iterrows — basic_simulation.py:29-38) + neuron
+    MATCH-existence inner join. Neurons = users with a signup event.
+    """
+    events = _t(spark, sf_dir, "events")
+    spikes = events.where(F.col("event_type") == "click").select(
+        F.col("value").alias("spike_time"), F.col("user_id").alias("neuron_id")
+    )
+    neurons = (
+        events.where(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("neuron_id"))
+        .distinct()
+    )
+    return sp.has_spike_triples(spikes, neurons)
+
+
+def spike_rate_by_neuron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-spiker stats ≙ ``filter_spiked_neurons``
+    (base_simulation_loader.py:65-66) extended with per-neuron counts."""
+    events = _t(spark, sf_dir, "events")
+    spikes = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("neuron_id"), F.col("value").alias("spike_time")
+    )
+    return spikes.groupBy("neuron_id").agg(
+        F.count(F.lit(1)).alias("n_spikes"),
+        F.round(F.avg("spike_time"), 6).alias("avg_spike_time"),
+        F.round(F.min("spike_time"), 6).alias("first_spike"),
+        F.round(F.max("spike_time"), 6).alias("last_spike"),
+    )
+
+
 def kg_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _kg_outputs(spark)
     return out["invariant_violations"].select("doc_id")
@@ -427,6 +462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_synapse_triples": kg_synapse_triples,
         "kg_aggregated_mtype": kg_aggregated_mtype,
         "kg_span_invariant": kg_span_invariant,
+        "spike_has_spike_triples": spike_has_spike_triples,
+        "spike_rate_by_neuron": spike_rate_by_neuron,
     }
 
 
@@ -679,6 +716,25 @@ def oracle_sql() -> dict[str, str]:
         "kg_attribute_triples": _kg_attr_oracle(),
         "kg_synapse_triples": _kg_syn_oracle(),
         "kg_aggregated_mtype": _kg_agg_oracle(),
+        "spike_has_spike_triples": """
+            SELECT e.user_id AS subj,
+                   'HAS_SPIKE' AS pred,
+                   'spike_' || e.user_id || '_' || CAST(e.value AS VARCHAR) AS obj,
+                   e.value AS spike_time
+            FROM events e
+            WHERE e.event_type = 'click'
+              AND e.user_id IN (SELECT DISTINCT user_id FROM events
+                                WHERE event_type = 'signup')
+        """,
+        "spike_rate_by_neuron": """
+            SELECT user_id AS neuron_id,
+                   count(*) AS n_spikes,
+                   round(avg(value), 6) AS avg_spike_time,
+                   round(min(value), 6) AS first_spike,
+                   round(max(value), 6) AS last_spike
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id
+        """,
         # kg_span_invariant: rows-only (must be empty) — non-SQL-expressible
         # minhash/simhash/lsh/embedding near-dups & multimodal: hash-/UDF-
         # dependent, rows-only by design.
