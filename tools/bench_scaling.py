@@ -235,7 +235,7 @@ def main() -> None:
                 f"{r['triples']} | `{r['triples_fingerprint']}` |\n"
                 for c, r in results.items()
             )
-            + f"\n**Scaling efficiency (8 -> 32 cores): {eff:.3f}**"
+            + f"\n**Scaling efficiency ({lo} -> {hi} cores): {eff:.3f}**"
             + (" — meets the >=0.8 target.\n" if eff >= 0.8 else " — BELOW target.\n")
             + "\nBoth levels emit the identical triple multiset "
             f"(order-independent fingerprint match: {deterministic}) — every\n"
