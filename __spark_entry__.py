@@ -393,6 +393,42 @@ def kg_aggregated_mtype(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node table with labels ≙ reference node labels (Neuron
+    neo4j_operations.py:338, NodeGroup :186, Population :312)."""
+    return _kg_outputs(spark)["nodes"]
+
+
+def kg_population_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-population neuron count ≙ ``population.size`` metadata capture
+    (data_extraction.py:66-72), from BELONGS_TO membership triples."""
+    attr = _kg_outputs(spark)["attribute_triples"]
+    return (
+        attr.where(F.col("pred") == "BELONGS_TO")
+        .groupBy(F.col("obj").alias("population"))
+        .agg(F.count(F.lit(1)).alias("n_neurons"))
+    )
+
+
+def kg_rich_aggregated_mtype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich AGGREGATED_SYNAPSE: 11 per-pair averages (intended semantics of
+    the reference's bugged Cypher, scripts/load_circuit.py:511-545 — see
+    SURVEY.md §3.2). The afferent distribution map is pytest-covered."""
+    out = _kg_outputs(spark)
+    agg = next(
+        df
+        for df in out["aggregate_triples"]
+        if df.select("pred").first()["pred"] == "AGGREGATED_SYNAPSE_RICH_MTYPE"
+    )
+    avg_cols = [c for c in agg.columns if c.startswith("avg_")]
+    return agg.select(
+        "subj",
+        "obj",
+        F.col("n_synapses").cast("long").alias("n_synapses"),
+        *[F.round(c, 6).alias(c) for c in sorted(avg_cols)],
+    )
+
+
 def spike_has_spike_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simulation extension over `events`: click events are spike events.
 
@@ -462,6 +498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_synapse_triples": kg_synapse_triples,
         "kg_aggregated_mtype": kg_aggregated_mtype,
         "kg_span_invariant": kg_span_invariant,
+        "kg_nodes": kg_nodes,
+        "kg_population_size": kg_population_size,
+        "kg_rich_aggregated_mtype": kg_rich_aggregated_mtype,
         "spike_has_spike_triples": spike_has_spike_triples,
         "spike_rate_by_neuron": spike_rate_by_neuron,
     }
@@ -545,6 +584,45 @@ def _kg_agg_oracle() -> str:
         f"CAST(avg_delay AS DOUBLE) AS avg_delay "
         f"FROM (VALUES {_values_rows(rows)}) AS t(subj, obj, n_synapses, avg_conductance, avg_delay)"
     )
+
+
+def _kg_nodes_oracle() -> str:
+    rows = set()
+    for pop, nid, mtype, etype, sclass, _layer, _region, morph in fixture.NEURONS:
+        rows.add((fixture.neuron_entity(pop, nid), "Neuron"))
+        rows.add((f"mtype:{mtype}", "MType"))
+        rows.add((f"etype:{etype}", "EType"))
+        rows.add((f"sclass:{sclass}", "SClass"))
+        rows.add((f"pop:{pop}", "Population"))
+        rows.add((f"morphology:{morph}", "Morphology"))
+    return f"SELECT * FROM (VALUES {_values_rows(sorted(rows))}) AS t(entity_id, label)"
+
+
+def _kg_popsize_oracle() -> str:
+    counts: dict[str, int] = {}
+    for pop, *_ in fixture.NEURONS:
+        counts[f"pop:{pop}"] = counts.get(f"pop:{pop}", 0) + 1
+    rows = sorted(counts.items())
+    return (
+        f"SELECT population, CAST(n_neurons AS BIGINT) AS n_neurons "
+        f"FROM (VALUES {_values_rows(rows)}) AS t(population, n_neurons)"
+    )
+
+
+def _kg_rich_agg_oracle() -> str:
+    golden = fixture.golden_aggregates("mtype")
+    avg_names = sorted(f"avg_{m}" for m in fixture.EDGE_PROPS)
+    rows = [
+        (f"mtype:{a}", f"mtype:{b}", int(s["n_synapses"]))
+        + tuple(round(s[name], 6) for name in avg_names)
+        for (a, b), s in sorted(golden.items())
+    ]
+    cols = ["subj", "obj", "n_synapses", *avg_names]
+    casts = ", ".join(
+        ["subj", "obj", "CAST(n_synapses AS BIGINT) AS n_synapses"]
+        + [f"CAST({n} AS DOUBLE) AS {n}" for n in avg_names]
+    )
+    return f"SELECT {casts} FROM (VALUES {_values_rows(rows)}) AS t({', '.join(cols)})"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -716,6 +794,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_attribute_triples": _kg_attr_oracle(),
         "kg_synapse_triples": _kg_syn_oracle(),
         "kg_aggregated_mtype": _kg_agg_oracle(),
+        "kg_nodes": _kg_nodes_oracle(),
+        "kg_population_size": _kg_popsize_oracle(),
+        "kg_rich_aggregated_mtype": _kg_rich_agg_oracle(),
         "spike_has_spike_triples": """
             SELECT e.user_id AS subj,
                    'HAS_SPIKE' AS pred,
