@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 
 from sonata_neo4j_loader_spark.datagen import documents as dg
 from sonata_neo4j_loader_spark.datagen import fixture
-from sonata_neo4j_loader_spark.operators import dedup, multimodal, similarity, text
+from sonata_neo4j_loader_spark.operators import (
+    canonicalize,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from sonata_neo4j_loader_spark.plans import pipeline
 from sonata_neo4j_loader_spark.sources import spikes as sp
 
@@ -202,8 +208,13 @@ def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no order since 1998 (the recency filter
+    keeps the result non-empty at every sf, so the anti join is actually
+    exercised rather than vacuously matching an empty oracle)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -230,8 +241,14 @@ def nations_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def nations_customers_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no high-balance supplier (the
+    balance filter keeps the difference non-empty at every sf)."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 8000.0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s)
 
 
@@ -280,6 +297,84 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join with a non-equi conjunct (l_shipdate > o_orderdate):
+    Catalyst plans the equi part as the join key and the inequality as a
+    post-join predicate inside the semi join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side filter, then a distribution over the
+    per-customer counts (two chained aggregations; count(col) skips nulls
+    from the outer join exactly like SQL)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — Catalyst plans the two-phase distinct
+    aggregate (partial dedupe on (group, suppkey), then final count)."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 20)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (global average balance, broadcast single-row cross
+    join) + anti join against recent orders — the TPC-H q22 shape."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+def events_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: (type, day) / (type) / () subtotals in one
+    pass — Catalyst expands the sets and runs a single shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -309,6 +404,31 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
         .select("keep_id", "n_members")
     )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-verifiable document fingerprinting (md5 of the
+    whitespace-normalized text). The engine's scale fingerprint is the
+    64-bit rolling hash in operators/text.py (xxhash64-based, JVM-side);
+    this md5 twin exists so the fingerprint *pipeline* (normalize → hash →
+    group) has an exact DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(text.normalized_text("text")).alias("fingerprint")
+    )
+
+
+def sampled_docs_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-invariant deterministic 10% sample (≙ the reference's
+    seeded frac sample, data_extraction.py:74, re-expressed as value
+    hashing so any executor count draws the identical sample — the engine's
+    hot path uses xxhash64 (operators/sampling.py); this md5-bucket variant
+    is the cross-engine-verifiable twin)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 10000
+    return docs.where(bucket < 1000).select("doc_id", "n_chars")
 
 
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,8 +463,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_duplicates(emb, threshold=0.9)
+    """Embedding-cosine near-dup detection over a corpus with planted dups.
+
+    The sf embeddings are near-orthogonal random vectors (max pairwise
+    cosine ≈ 0.51), so natural near-dups cannot exist; we plant 25
+    deterministic twins (same direction, rescaled — cosine exactly 1) and
+    the LSH-bucketed detector must recover exactly those pairs. Scaling
+    preserves every hyperplane sign, so LSH recall on the planted pairs is
+    structural, not probabilistic — which is what makes the brute-force
+    DuckDB oracle exact."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    twins = emb.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0005)).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    return similarity.embedding_near_duplicates(corpus, threshold=0.95).select(
+        "id_a", "id_b"
+    )
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,6 +606,16 @@ def kg_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["invariant_violations"].select("doc_id")
 
 
+def kg_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components canonicalization over the fixture alias edges,
+    forced down the distributed alternating-star path (the broadcast-sized
+    local path is pytest-covered; this exercises the any-scale one). The
+    oracle recomputes components independently with a DuckDB recursive CTE
+    (transitive closure → min member)."""
+    aliases = dg.fixture_alias_edges(spark)
+    return canonicalize.connected_components(aliases, strategy="distributed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -481,10 +629,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": top_orders_per_customer,
         "nations_customers_and_suppliers": nations_customers_and_suppliers,
         "nations_customers_only": nations_customers_only,
+        "q4_order_priority": q4_order_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q16_supplier_variety": q16_supplier_variety,
+        "q22_dormant_rich_customers": q22_dormant_rich_customers,
         "events_hourly_rollup": events_hourly_rollup,
         "events_sessions": events_sessions,
         "events_json_props": events_json_props,
+        "events_type_rollup": events_type_rollup,
         "text_stats": text_stats,
+        "doc_fingerprints": doc_fingerprints,
+        "sampled_docs_hash": sampled_docs_hash,
         "lang_distribution": lang_distribution,
         "dedup_exact_groups": dedup_exact_groups,
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
@@ -498,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_synapse_triples": kg_synapse_triples,
         "kg_aggregated_mtype": kg_aggregated_mtype,
         "kg_span_invariant": kg_span_invariant,
+        "kg_canonical_map": kg_canonical_map,
         "kg_nodes": kg_nodes,
         "kg_population_size": kg_population_size,
         "kg_rich_aggregated_mtype": kg_rich_aggregated_mtype,
@@ -625,6 +781,38 @@ def _kg_rich_agg_oracle() -> str:
     return f"SELECT {casts} FROM (VALUES {_values_rows(rows)}) AS t({', '.join(cols)})"
 
 
+def _kg_canonical_oracle() -> str:
+    """Independent component computation: DuckDB recursive CTE transitive
+    closure over the same alias pairs, canonical = min member (self
+    included) — no shared code with the Spark star-contraction."""
+    pairs: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
+    for pop, nid, *_ in fixture.NEURONS:
+        for p in [
+            (f"neuron:{pop.lower()}:{nid}", f"neuron:{pop}:{nid}"),
+            (f"pop:{pop.lower()}", f"pop:{pop}"),
+        ]:
+            if p not in seen:
+                seen.add(p)
+                pairs.append(p)
+    vals = _values_rows(pairs)
+    return f"""
+        WITH RECURSIVE und(u, v) AS (
+          SELECT a, b FROM (VALUES {vals}) t(a, b)
+          UNION
+          SELECT b, a FROM (VALUES {vals}) t(a, b)
+        ),
+        reach(n, m) AS (
+          SELECT u, v FROM und
+          UNION
+          SELECT u, u FROM und
+          UNION
+          SELECT r.n, u2.v FROM reach r JOIN und u2 ON r.m = u2.u
+        )
+        SELECT n AS entity_id, min(m) AS canonical_id FROM reach GROUP BY n
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -694,7 +882,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '1998-01-01')
         """,
         "top_orders_per_customer": """
             SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
@@ -713,7 +902,46 @@ def oracle_sql() -> dict[str, str]:
         "nations_customers_only": """
             SELECT c_nationkey AS nationkey FROM customer
             EXCEPT
-            SELECT s_nationkey FROM supplier
+            SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000.0
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "q16_supplier_variety": """
+            SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 20
+            GROUP BY p_brand, p_type
+        """,
+        "q22_dormant_rich_customers": """
+            SELECT c_mktsegment, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c_mktsegment
+        """,
+        "events_type_rollup": """
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
         """,
         "events_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -754,6 +982,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_LANG_SQL} AS lang_id, count(*) AS n_docs
             FROM documents GROUP BY 1
         """,
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "sampled_docs_hash": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 1000
+        """,
+        "embedding_near_dups": """
+            WITH corpus AS (
+              SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000,
+                     list_transform(embedding, v -> CAST(v AS DOUBLE) * 1.0005)
+              FROM embeddings WHERE vec_id < 25
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1] * x[2]))
+                  / (sqrt(list_sum(list_transform(a.emb, v -> v * v)))
+                   * sqrt(list_sum(list_transform(b.emb, v -> v * v)))) >= 0.95
+        """,
         "dedup_exact_groups": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_members
             FROM (SELECT doc_id,
@@ -791,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 10
         """,
+        "kg_canonical_map": _kg_canonical_oracle(),
         "kg_attribute_triples": _kg_attr_oracle(),
         "kg_synapse_triples": _kg_syn_oracle(),
         "kg_aggregated_mtype": _kg_agg_oracle(),
@@ -817,6 +1070,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
         """,
         # kg_span_invariant: rows-only (must be empty) — non-SQL-expressible
-        # minhash/simhash/lsh/embedding near-dups & multimodal: hash-/UDF-
-        # dependent, rows-only by design.
+        # minhash/simhash/lsh near-dups & multimodal: hash-/UDF-dependent,
+        # rows-only by design.
     }
