@@ -107,34 +107,97 @@ def _extract_synapse(doc_text: pd.Series) -> pd.DataFrame:
     )
 
 
+def extract_documents(parsed: DataFrame, impl: str = "arrow") -> DataFrame:
+    """ONE pass over document text -> compact extraction frame.
+
+    Output: (doc_id, media_refs, mentions array<struct>, synapse struct).
+    Both pandas UDFs sit in the same projection, so Spark fuses them into a
+    single ArrowEvalPython node — the text crosses the Arrow boundary once.
+    The result is ~100× smaller than the raw text, which is what makes it
+    the *correct* thing to persist at 100 TB: downstream branches (mention
+    linking and synapse assembly) re-read this compact frame instead of
+    re-scanning + re-parsing + re-regexing the full corpus once each.
+    """
+    if impl == "arrow":
+        return parsed.select(
+            "doc_id",
+            "media_refs",
+            _extract_entity_mentions("doc_text").alias("mentions"),
+            _extract_synapse("doc_text").alias("synapse"),
+        )
+    if impl == "native":
+        pairs = F.expr(f"regexp_extract_all(doc_text, '{_sql_re(_ENTITY_RE)}', 0)")
+        prop_sql = _sql_re(_PROP_RE)
+        props_expr = F.map_from_entries(
+            F.expr(
+                f"transform(regexp_extract_all(doc_text, '{prop_sql}', 0),"
+                f" h -> struct(regexp_extract(h, '{prop_sql}', 1),"
+                f" cast(regexp_extract(h, '{prop_sql}', 2) as double)))"
+            )
+        )
+        return parsed.select(
+            "doc_id",
+            "media_refs",
+            F.transform(
+                pairs,
+                lambda h: F.struct(
+                    F.regexp_extract(h, _ENTITY_RE, 1).alias("kind"),
+                    F.regexp_extract(h, _ENTITY_RE, 2).alias("surface"),
+                ),
+            ).alias("mentions"),
+            F.struct(
+                F.nullif(F.regexp_extract("doc_text", _SYNAPSE_RE, 1), F.lit("")).alias(
+                    "src_surface"
+                ),
+                F.nullif(F.regexp_extract("doc_text", _SYNAPSE_RE, 2), F.lit("")).alias(
+                    "tgt_surface"
+                ),
+                F.when(F.size(props_expr) > 0, props_expr).alias("props"),
+                F.nullif(F.regexp_extract("doc_text", _AFF_RE, 1), F.lit("")).alias(
+                    "afferent_section_type"
+                ),
+            ).alias("synapse"),
+        )
+    raise ValueError(f"unknown impl: {impl}")
+
+
+def mentions_from_extracted(extracted: DataFrame) -> DataFrame:
+    """(doc_id, kind, surface) rows from the compact extraction frame.
+
+    Media refs become mentions (kind='media') in the SAME projection —
+    concat + one explode, so the extraction frame is scanned once (a
+    union of two selects would read it twice, recomputing the UDFs when
+    the frame isn't persisted)."""
+    media_as_mentions = F.transform(
+        "media_refs",
+        lambda r: F.struct(F.lit("media").alias("kind"), r.alias("surface")),
+    )
+    return extracted.select(
+        "doc_id",
+        F.explode(
+            F.concat(F.coalesce("mentions", F.array()), media_as_mentions)
+        ).alias("m"),
+    ).select("doc_id", F.col("m.kind").alias("kind"), F.col("m.surface").alias("surface"))
+
+
+def synapses_from_extracted(extracted: DataFrame) -> DataFrame:
+    """One row per synapse statement from the compact extraction frame."""
+    return (
+        extracted.select("doc_id", "synapse.*")
+        .where(F.col("src_surface").isNotNull() & F.col("tgt_surface").isNotNull())
+    )
+
+
 def detect_mentions(parsed: DataFrame, impl: str = "arrow") -> DataFrame:
     """parsed documents -> (doc_id, kind, surface) mention rows.
 
     Media refs are mentions too (kind='media', surface=the ref) — the
     reference stores morphology as a plain node attribute
-    (``nodes_A.h5.txt`` dataset ``morphology``).
+    (``nodes_A.h5.txt`` dataset ``morphology``). Standalone convenience
+    over :func:`extract_documents`; Catalyst prunes the unused synapse
+    half of the extraction projection.
     """
-    if impl == "arrow":
-        text_mentions = parsed.select(
-            "doc_id", F.explode(_extract_entity_mentions("doc_text")).alias("m")
-        ).select("doc_id", F.col("m.kind").alias("kind"), F.col("m.surface").alias("surface"))
-    elif impl == "native":
-        pairs = F.expr(f"regexp_extract_all(doc_text, '{_sql_re(_ENTITY_RE)}', 0)")
-        text_mentions = (
-            parsed.select("doc_id", F.explode(pairs).alias("hit"))
-            .select(
-                "doc_id",
-                F.regexp_extract("hit", _ENTITY_RE, 1).alias("kind"),
-                F.regexp_extract("hit", _ENTITY_RE, 2).alias("surface"),
-            )
-        )
-    else:  # pragma: no cover - guarded by tests
-        raise ValueError(f"unknown impl: {impl}")
-
-    media_mentions = parsed.select(
-        "doc_id", F.explode("media_refs").alias("surface")
-    ).select("doc_id", F.lit("media").alias("kind"), "surface")
-    return text_mentions.unionByName(media_mentions)
+    return mentions_from_extracted(extract_documents(parsed, impl))
 
 
 def detect_synapses(parsed: DataFrame, impl: str = "arrow") -> DataFrame:
@@ -143,33 +206,7 @@ def detect_synapses(parsed: DataFrame, impl: str = "arrow") -> DataFrame:
     Output: (doc_id, src_surface, tgt_surface, props map, afferent_section_type);
     docs without a synapse statement are dropped. Multiset semantics: one
     output row per document, duplicates preserved (Cypher CREATE,
-    reference ``circuit/neo4j_operations.py:391``).
+    reference ``circuit/neo4j_operations.py:391``). Standalone convenience
+    over :func:`extract_documents`; the mention half prunes away.
     """
-    if impl == "arrow":
-        out = parsed.select("doc_id", _extract_synapse("doc_text").alias("s")).select(
-            "doc_id", "s.*"
-        )
-    elif impl == "native":
-        prop_sql = _sql_re(_PROP_RE)
-        out = parsed.select(
-            "doc_id",
-            F.nullif(F.regexp_extract("doc_text", _SYNAPSE_RE, 1), F.lit("")).alias(
-                "src_surface"
-            ),
-            F.nullif(F.regexp_extract("doc_text", _SYNAPSE_RE, 2), F.lit("")).alias(
-                "tgt_surface"
-            ),
-            F.map_from_entries(
-                F.expr(
-                    f"transform(regexp_extract_all(doc_text, '{prop_sql}', 0),"
-                    f" h -> struct(regexp_extract(h, '{prop_sql}', 1),"
-                    f" cast(regexp_extract(h, '{prop_sql}', 2) as double)))"
-                )
-            ).alias("props"),
-            F.nullif(F.regexp_extract("doc_text", _AFF_RE, 1), F.lit("")).alias(
-                "afferent_section_type"
-            ),
-        ).withColumn("props", F.when(F.size("props") > 0, F.col("props")))
-    else:  # pragma: no cover
-        raise ValueError(f"unknown impl: {impl}")
-    return out.where(F.col("src_surface").isNotNull() & F.col("tgt_surface").isNotNull())
+    return synapses_from_extracted(extract_documents(parsed, impl))

@@ -46,3 +46,14 @@ def test_materialize_roundtrip_and_resume(spark, outputs, tmp_path_factory):
     # lineage audit: manifest row counts match physical data
     for name in reports:
         assert mat.verify_against_manifest(spark, f"{root}/{name}").count() == 0
+
+
+def test_dry_run_report_counts(outputs):
+    # ≙ the reference's interactive edge-import gate
+    # (data_extraction.py:125-134) replaced by a batch size report
+    rep = pipeline.dry_run_report(outputs)
+    assert rep["attribute_triples"] == 25  # 5 neurons × 5 attribute preds
+    assert rep["synapse_triples"] == 16    # CREATE multiset survives intact
+    assert rep["invariant_violations"] == 0
+    assert rep["nodes"] == 18
+    assert rep["aggregate_triples"] > 0
