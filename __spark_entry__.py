@@ -24,6 +24,7 @@ from sonata_neo4j_loader_spark.operators import (
     similarity,
     text,
 )
+from sonata_neo4j_loader_spark.operators import parse as parse_ops
 from sonata_neo4j_loader_spark.plans import pipeline
 from sonata_neo4j_loader_spark.sources import spikes as sp
 
@@ -606,6 +607,16 @@ def kg_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["invariant_violations"].select("doc_id")
 
 
+def kg_edge_population_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-population name parsing over the fixture's population registry
+    plus the two edge cases the reference special-cases: the literal
+    ``default`` (→ hippocampus_neurons pair, data_extraction.py:152-155)
+    and a sub-3-part name that must be skipped (data_extraction.py:157-159)."""
+    names = sorted({e[0] for e in fixture.EDGES}) + ["default", "malformed_name"]
+    df = spark.createDataFrame([(n,) for n in names], "edge_population string")
+    return parse_ops.parse_edge_population_name(df)
+
+
 def kg_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components canonicalization over the fixture alias edges,
     forced down the distributed alternating-star path (the broadcast-sized
@@ -653,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_synapse_triples": kg_synapse_triples,
         "kg_aggregated_mtype": kg_aggregated_mtype,
         "kg_span_invariant": kg_span_invariant,
+        "kg_edge_population_parse": kg_edge_population_parse,
         "kg_canonical_map": kg_canonical_map,
         "kg_nodes": kg_nodes,
         "kg_population_size": kg_population_size,
@@ -779,6 +791,21 @@ def _kg_rich_agg_oracle() -> str:
         + [f"CAST({n} AS DOUBLE) AS {n}" for n in avg_names]
     )
     return f"SELECT {casts} FROM (VALUES {_values_rows(rows)}) AS t({', '.join(cols)})"
+
+
+def _kg_edge_pop_parse_oracle() -> str:
+    names = sorted({e[0] for e in fixture.EDGES}) + ["default", "malformed_name"]
+    vals = _values_rows([(n,) for n in names])
+    return f"""
+        SELECT edge_population,
+               CASE WHEN edge_population = 'default' THEN 'hippocampus_neurons'
+                    ELSE str_split(edge_population, '__')[1] END AS source_pop,
+               CASE WHEN edge_population = 'default' THEN 'hippocampus_neurons'
+                    ELSE str_split(edge_population, '__')[2] END AS target_pop
+        FROM (VALUES {vals}) t(edge_population)
+        WHERE edge_population = 'default'
+           OR len(str_split(edge_population, '__')) >= 3
+    """
 
 
 def _kg_canonical_oracle() -> str:
@@ -1043,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 10
         """,
+        "kg_edge_population_parse": _kg_edge_pop_parse_oracle(),
         "kg_canonical_map": _kg_canonical_oracle(),
         "kg_attribute_triples": _kg_attr_oracle(),
         "kg_synapse_triples": _kg_syn_oracle(),

@@ -82,6 +82,27 @@ def audit_span_invariant(original: DataFrame, processed: DataFrame) -> DataFrame
     )
 
 
+def parse_edge_population_name(
+    df: DataFrame, col: str = "edge_population"
+) -> DataFrame:
+    """SONATA edge-population name -> (source_pop, target_pop) columns.
+
+    ≙ the reference's positional split (``data_extraction.py:147-159``):
+    ``"A__B__chemical".split("__")`` takes parts [0]/[1]; the literal name
+    ``"default"`` maps to the hard-coded ``hippocampus_neurons`` pair; any
+    other name with fewer than 3 parts is *skipped* (the reference
+    ``continue``s past the population).
+    """
+    parts = F.split(F.col(col), "__")
+    is_default = F.col(col) == "default"
+    fallback = F.lit("hippocampus_neurons")
+    return (
+        df.where(is_default | (F.size(parts) >= 3))
+        .withColumn("source_pop", F.when(is_default, fallback).otherwise(parts.getItem(0)))
+        .withColumn("target_pop", F.when(is_default, fallback).otherwise(parts.getItem(1)))
+    )
+
+
 def reassemble_spans(exploded: DataFrame) -> DataFrame:
     """Inverse of ``explode``: (doc_id, kind, text, media_ref, offset) -> documents.
 

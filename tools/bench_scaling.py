@@ -237,6 +237,18 @@ def main() -> None:
             )
             + f"\n**Scaling efficiency ({lo} -> {hi} cores): {eff:.3f}**"
             + (" — meets the >=0.8 target.\n" if eff >= 0.8 else " — BELOW target.\n")
+            + (
+                "\nEfficiency above 1.0 is an artifact of the small leg, not "
+                "magic: at\n"
+                f"local[{lo}] the single JVM's fixed thread pools (shuffle, "
+                "GC, Arrow IPC)\n"
+                "and the Python UDF workers oversubscribe the "
+                f"{lo} cores, so the N leg\n"
+                "underperforms its nominal core count; read it as 'no scaling "
+                "loss\ndetectable between the legs'.\n"
+                if eff > 1.0
+                else ""
+            )
             + "\nBoth levels emit the identical triple multiset "
             f"(order-independent fingerprint match: {deterministic}) — every\n"
             "seeded/salted op keys on data, never on task scheduling.\n"
