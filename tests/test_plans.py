@@ -84,3 +84,48 @@ def test_semi_join_for_endpoint_existence(spark):
     q = edges.join(F.broadcast(nodes), edges["src"] == nodes["nid"], "left_semi")
     plan = _plan(q)
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_exists_semijoin_plans_left_semi(spark):
+    # q4 shape: EXISTS with a non-equi conjunct must still be a single
+    # semi join (equi key + post-join inequality), never a full join+dedup
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q4_order_priority(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_rollup_plans_expand(spark):
+    # grouping sets run as ONE pass: Expand node + single aggregation,
+    # not one job per grouping set
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.events_type_rollup(spark, SF_DIR))
+    assert "Expand" in plan and plan.count("Scan parquet") == 1
+
+
+def test_anti_join_and_scalar_subquery_plan(spark):
+    # q22 shape: scalar subquery broadcast (nested-loop on a 1-row side is
+    # fine), recent-orders exclusion as a real anti join
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q22_dormant_rich_customers(spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_hash_sample_is_scan_local(spark):
+    # partition-invariant sampling must not shuffle: filter evaluates at
+    # the scan, so the plan has no Exchange at all
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.sampled_docs_hash(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_distinct_agg_two_phase(spark):
+    # q16: COUNT(DISTINCT) plans as partial dedupe + final count (two
+    # HashAggregate pairs; AQE pre-final plan string omits codegen markers)
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q16_supplier_variety(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4 and "partial_count(distinct" in plan
