@@ -134,19 +134,38 @@ def build_triples(
     syn = sampling.sample_by_hash(syn, "doc_id", cfg.edge_proportion, cfg.seed)
     syn = syn.persist()
 
-    # stage 5d: aggregates per group attribute
+    # stage 5d: aggregates per group attribute. When the rich variant runs
+    # for a pred, the default (avg conductance/delay) variant is a pure
+    # projection of the rich result — deriving it there instead of
+    # re-joining + re-aggregating the synapse frame saves one full pass
+    # per rich pred (same grouping key, identical values).
     agg_frames: list[DataFrame] = []
     for pred in cfg.group_attrs:
         groups = attr.where(F.col("pred") == pred).select(
             F.col("subj").alias("neuron_id"), F.col("obj").alias("group")
         )
         prefix = pred.removeprefix("HAS_")
-        agg_frames.append(
-            aggregate.aggregated_synapse_triples(syn, groups, prefix, cfg.broadcast_neurons)
-        )
         if cfg.rich_aggregates and pred == "HAS_MTYPE":
+            # persist: two consumers (the projection below + the rich frame
+            # itself), group-pair-sized output — without it the aggregation
+            # pass over the synapse frame would run once per consumer
+            rich = aggregate.rich_aggregated_synapse_triples(
+                syn, groups, prefix, cfg.broadcast_neurons
+            ).persist()
             agg_frames.append(
-                aggregate.rich_aggregated_synapse_triples(
+                rich.select(
+                    "subj",
+                    F.lit(f"AGGREGATED_SYNAPSE_{prefix}").alias("pred"),
+                    "obj",
+                    "n_synapses",
+                    "avg_conductance",
+                    "avg_delay",
+                )
+            )
+            agg_frames.append(rich)
+        else:
+            agg_frames.append(
+                aggregate.aggregated_synapse_triples(
                     syn, groups, prefix, cfg.broadcast_neurons
                 )
             )
