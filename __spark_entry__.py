@@ -362,6 +362,99 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-min shape (TPC-H q2): per part, the supplier offering the
+    minimum price — per-group min joined back to the fact on (key, min)."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(
+            m,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("min_price", 2).alias("min_price"),
+        )
+        .agg(F.min("l_suppkey").alias("supplier"))
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery per group (TPC-H q17): lines below 20% of
+    their part's average quantity — the per-part aggregate joins back as a
+    threshold instead of re-running per row."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(thresh, li["l_partkey"] == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-attribute predicate (TPC-H q19): OR of ANDs across
+    both join sides — Catalyst pushes the common p/l conjuncts below the
+    join and keeps the residual OR as the join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30) & F.col("l_quantity").between(20, 40))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS chain (TPC-H q21 shape, lateness = shipped >60
+    days after order date): suppliers who were the ONLY late supplier in a
+    multi-supplier order. One semi join + one anti join on the same fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+    multi = late.join(
+        others,
+        (late["l_orderkey"] == F.col("ok2")) & (late["l_suppkey"] != F.col("sk2")),
+        "left_semi",
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    sole = multi.join(
+        other_late,
+        (multi["l_orderkey"] == F.col("ok3")) & (multi["l_suppkey"] != F.col("sk3")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(s), sole["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def events_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets: (type, day) / (type) / () subtotals in one
     pass — Catalyst expands the sets and runs a single shuffle."""
@@ -640,9 +733,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": top_orders_per_customer,
         "nations_customers_and_suppliers": nations_customers_and_suppliers,
         "nations_customers_only": nations_customers_only,
+        "q2_min_price_supplier": q2_min_price_supplier,
         "q4_order_priority": q4_order_priority,
         "q13_customer_distribution": q13_customer_distribution,
         "q16_supplier_variety": q16_supplier_variety,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q21_late_sole_suppliers": q21_late_sole_suppliers,
         "q22_dormant_rich_customers": q22_dormant_rich_customers,
         "events_hourly_rollup": events_hourly_rollup,
         "events_sessions": events_sessions,
@@ -930,6 +1027,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey AS nationkey FROM customer
             EXCEPT
             SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000.0
+        """,
+        "q2_min_price_supplier": """
+            WITH m AS (
+              SELECT l_partkey, min(l_extendedprice) AS min_price
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l.l_partkey AS p_partkey, round(m.min_price, 2) AS min_price,
+                   min(l.l_suppkey) AS supplier
+            FROM lineitem l JOIN m
+              ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+            GROUP BY 1, 2
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#3'
+              AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """,
+        "q19_discounted_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "q21_late_sole_suppliers": """
+            WITH l1 AS (
+              SELECT DISTINCT l_suppkey, l_orderkey
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY s_name
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, count(*) AS order_count
