@@ -700,6 +700,23 @@ def kg_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["invariant_violations"].select("doc_id")
 
 
+def kg_dynamic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic multi-label add ≙ ``apoc.create.addLabels(n, [n.mtype])``
+    (neo4j_operations.py:279-284, gated off by default in the reference):
+    every neuron carries the static ``Neuron`` label plus its mtype value
+    as a second, data-dependent label — exploded to (entity_id, label)
+    rows, the relational form of a multi-label property graph node."""
+    attr = _kg_outputs(spark)["attribute_triples"]
+    mtypes = attr.where(F.col("pred") == "HAS_MTYPE").select(
+        F.col("subj").alias("entity_id"),
+        F.regexp_replace("obj", "^mtype:", "").alias("dyn_label"),
+    )
+    return mtypes.select(
+        "entity_id",
+        F.explode(F.array(F.lit("Neuron"), F.col("dyn_label"))).alias("label"),
+    )
+
+
 def kg_edge_population_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-population name parsing over the fixture's population registry
     plus the two edge cases the reference special-cases: the literal
@@ -761,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_synapse_triples": kg_synapse_triples,
         "kg_aggregated_mtype": kg_aggregated_mtype,
         "kg_span_invariant": kg_span_invariant,
+        "kg_dynamic_labels": kg_dynamic_labels,
         "kg_edge_population_parse": kg_edge_population_parse,
         "kg_canonical_map": kg_canonical_map,
         "kg_nodes": kg_nodes,
@@ -888,6 +906,15 @@ def _kg_rich_agg_oracle() -> str:
         + [f"CAST({n} AS DOUBLE) AS {n}" for n in avg_names]
     )
     return f"SELECT {casts} FROM (VALUES {_values_rows(rows)}) AS t({', '.join(cols)})"
+
+
+def _kg_dynamic_labels_oracle() -> str:
+    rows = []
+    for pop, nid, mtype, *_ in fixture.NEURONS:
+        ent = fixture.neuron_entity(pop, nid)
+        rows.append((ent, "Neuron"))
+        rows.append((ent, mtype))
+    return f"SELECT * FROM (VALUES {_values_rows(rows)}) AS t(entity_id, label)"
 
 
 def _kg_edge_pop_parse_oracle() -> str:
@@ -1212,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 10
         """,
+        "kg_dynamic_labels": _kg_dynamic_labels_oracle(),
         "kg_edge_population_parse": _kg_edge_pop_parse_oracle(),
         "kg_canonical_map": _kg_canonical_oracle(),
         "kg_attribute_triples": _kg_attr_oracle(),
