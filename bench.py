@@ -37,7 +37,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_unshipped_orders",
     "q5_nation_revenue",
+    "q16_supplier_variety",
     "q18_large_orders",
+    "q21_late_sole_suppliers",
     "top_orders_per_customer",
     "events_sessions",
     "text_stats",
