@@ -173,6 +173,118 @@ def lsh_ann_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids (by cosine).
+
+    Coarse-quantizer step of IVF: broadcast the centroid table (dimension-
+    sized), score every (vector, centroid) pair, keep the top-``nprobe``
+    per vector — the 10^12-row side is scanned once and never shuffled
+    until the tiny per-vector ranking."""
+    c = centroids.select(
+        F.col("centroid_id"), F.col("centroid_vec")
+    )
+    scored = vectors.join(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("centroid_vec")).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= nprobe)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic coarse centroids: the ``n_centroids`` corpus vectors
+    with the smallest ``xxhash64(id, seed)`` — a seeded reservoir-style
+    pick that needs one pass and no iterative k-means (good enough for a
+    coarse quantizer; swap in k-means rounds if cluster balance matters)."""
+    w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= n_centroids)
+        .select(
+            (F.col("_r") - 1).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantizer + in-list exact re-rank.
+
+    Corpus vectors live in 1 inverted list each; queries probe their
+    ``nprobe`` nearest lists and re-rank exactly within them. The
+    all-pairs scan becomes |Q|·(N·nprobe/n_centroids) expected work, and
+    the corpus-side assignment is reusable across query batches (at
+    10^12 rows it would be materialized once, like an index).
+
+    NOTE on the centroid-selection window: ``ivf_centroids`` ranks with a
+    global window (single-partition shuffle of (id, vec) pairs only at the
+    top — acceptable because the ranking key is the hash, so Spark's
+    window TopK pushdown bounds it); at extreme scale replace with
+    ``orderBy(hash).limit(n)`` which plans TakeOrderedAndProject.
+    """
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col, seed)
+    corpus_lists = ivf_assign(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
+        cents,
+        nprobe=1,
+        id_col="vec_id",
+        vec_col="c_vec",
+    )
+    query_probes = ivf_assign(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        cents,
+        nprobe=nprobe,
+        id_col="query_id",
+        vec_col="q_vec",
+    )
+    cands = (
+        corpus_lists.join(F.broadcast(query_probes), "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,
