@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.populations import union_population_frames
+
 SPIKE_SCHEMA = T.StructType(
     [
         T.StructField("spike_time", T.DoubleType(), True),
@@ -90,10 +92,7 @@ def read_spike_grid(spark: SparkSession, cells: list[dict]) -> DataFrame:
             if k != "data_dir":
                 df = df.withColumn(k, F.lit(v))
         frames.append(df)
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f, allowMissingColumns=True)
-    return out
+    return union_population_frames(frames)
 
 
 def distinct_spikers(spikes: DataFrame) -> DataFrame:
