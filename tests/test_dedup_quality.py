@@ -1,0 +1,90 @@
+"""Near-dup detector quality pinned with planted duplicates.
+
+minhash/simhash are hash-seeded (rows-only at the driver gate); these
+tests supply the quality bound: a lightly mutated copy of a document
+(one appended token) MUST be recovered as a near-dup of its source.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sonata_neo4j_loader_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.01"
+N_PLANTED = 20
+OFFSET = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def planted_ids(spark):
+    # one appended token must be a SMALL relative change for near-dup
+    # semantics to apply — plant on the longest documents (on a 50-char doc
+    # 8 new chars flips a third of the shingle set and the twin genuinely
+    # is not a near-duplicate)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = (
+        docs.select("doc_id", F.length("text").alias("n"))
+        .orderBy(F.desc("n"), "doc_id")
+        .limit(N_PLANTED)
+        .collect()
+    )
+    return [r.doc_id for r in rows]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, planted_ids):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    twins = docs.where(F.col("doc_id").isin(planted_ids)).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(" zyzzyva")).alias("text"),
+    )
+    return docs.unionByName(twins)
+
+
+def _planted_recall(pairs, planted_ids) -> float:
+    got = {(min(a, b), max(a, b)) for a, b in pairs}
+    want = {(i, i + OFFSET) for i in planted_ids}
+    return len(got & want) / len(want)
+
+
+def test_minhash_recovers_planted(corpus, planted_ids):
+    rows = dedup.minhash_near_duplicates(corpus, "doc_id", "text", threshold=0.6).collect()
+    # one appended token keeps 5-gram jaccard ~0.95; at 8 bands x 4 rows the
+    # per-pair miss probability is ~(1 - 0.95^4)^8 < 1e-5
+    assert _planted_recall(((r.id_a, r.id_b) for r in rows), planted_ids) == 1.0
+    # verification bound: every reported pair really clears the threshold
+    assert all(r.jaccard >= 0.6 for r in rows)
+
+
+def test_simhash_finds_every_pair_within_guarantee(spark, corpus, planted_ids):
+    # the detector's contract is pigeonhole-exact: with 4 signature chunks,
+    # any pair within hamming 3 shares at least one chunk bucket, so recall
+    # over such pairs must be 1.0 — compute true hamming per planted pair
+    # and demand exactly the guaranteed subset (plus nothing over the cap)
+    from sonata_neo4j_loader_spark.operators.text import add_shingles
+
+    sigs = {
+        r.doc_id: r.sim
+        for r in add_shingles(corpus, "text", 5)
+        .select("doc_id", dedup.simhash_expr("shingles").alias("sim"))
+        .collect()
+    }
+    within = {
+        (i, i + OFFSET)
+        for i in planted_ids
+        if bin(sigs[i] ^ sigs[i + OFFSET]).count("1") <= 3
+    }
+    assert within, "fixture regression: no planted pair within the guarantee"
+    rows = dedup.simhash_near_duplicates(corpus, "doc_id", "text", max_hamming=3).collect()
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in rows}
+    assert within <= got
+    assert all(r.hamming <= 3 for r in rows)
+
+
+def test_exact_dedup_ignores_planted_mutations(corpus):
+    # the mutated twins are NOT exact duplicates — exact dedup must keep
+    # every planted doc as its own group
+    groups = dedup.exact_duplicate_groups(corpus, "doc_id", "text")
+    assert groups.where(F.col("n_members") > 1).count() == 0
