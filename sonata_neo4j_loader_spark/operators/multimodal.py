@@ -81,6 +81,40 @@ def _fake_feature(ref: str, media_type: str, dim: int) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+def resize_media(
+    media: DataFrame,
+    max_width: int = 224,
+    max_height: int = 224,
+    deterministic: bool = True,
+) -> DataFrame:
+    """Aspect-preserving downscale for image/video rows (audio passes
+    through). The geometry — scale factor, rounded target dimensions — is
+    real and vectorized (numpy over the Arrow batch); the pixel resample
+    itself is where Pillow/ffmpeg would run and is stubbed like the other
+    decode kernels. Output schema = input schema, so resize composes
+    anywhere in the media pipeline."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic:
+                raise NotImplementedError(
+                    "real pixel resampling requires Pillow/ffmpeg; "
+                    "not available in this environment"
+                )
+            visual = pdf["media_type"].isin(["image", "video"]).to_numpy()
+            w = pdf["width"].to_numpy(dtype="float64")
+            h = pdf["height"].to_numpy(dtype="float64")
+            scale = np.minimum(1.0, np.minimum(max_width / w, max_height / h))
+            new_w = np.where(visual, np.maximum(1, np.floor(w * scale)), w)
+            new_h = np.where(visual, np.maximum(1, np.floor(h * scale)), h)
+            out = pdf.copy()
+            out["width"] = pd.array(new_w.astype("int64"), dtype="Int32")
+            out["height"] = pd.array(new_h.astype("int64"), dtype="Int32")
+            yield out
+
+    return media.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 def extract_features(
     media: DataFrame,
     dim: int = 16,
