@@ -69,7 +69,9 @@ def prepare_kg_corpus(spark: SparkSession, sf: float, partitions: int) -> tuple[
     n_node = int(n_docs * 0.4)
     n_edge = int(n_docs * 0.5)
     n_noise = n_docs - n_node - n_edge
-    path = f"/tmp/kg_bench_corpus_sf{sf}_n{n_docs}"
+    # v2: node docs carry layer/region property spans (8 spans, was 6) —
+    # version the cache path so a grammar change invalidates stale corpora
+    path = f"/tmp/kg_bench_corpus_v2_sf{sf}_n{n_docs}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         docs = dg.synthetic_documents(

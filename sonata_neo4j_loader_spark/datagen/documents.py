@@ -86,10 +86,25 @@ def _media(ref: str, offset: int) -> tuple:
     return ("media", "", ref, offset)
 
 
-def _node_doc(pop: str, nid: int, mtype: str, etype: str, sclass: str, morph: str, *, alias: bool = False) -> tuple:
+def _node_doc(
+    pop: str,
+    nid: int,
+    mtype: str,
+    etype: str,
+    sclass: str,
+    layer: str,
+    region: str,
+    morph: str,
+    *,
+    alias: bool = False,
+) -> tuple:
     surface_pop = pop.lower() if alias else pop
     prefix = "alias" if alias else "node"
     doc_id = f"{prefix}-{pop}-{nid:06d}"
+    # layer/region are plain node *properties* (reference ``SET n += node``,
+    # neo4j_operations.py:339; values from data_extraction.py:52-58), not
+    # graph entities — they ride as attribute spans, never hit the
+    # entity dictionary.
     spans = [
         _text(f"neuron {surface_pop}#{nid}", 0),
         _text(f"mtype {mtype}", 1),
@@ -97,6 +112,8 @@ def _node_doc(pop: str, nid: int, mtype: str, etype: str, sclass: str, morph: st
         _text(f"sclass {sclass}", 3),
         _media(f"morph://{morph}", 4),
         _text(f"population {surface_pop}", 5),
+        _text(f"layer {layer}", 6),
+        _text(f"region {region}", 7),
     ]
     return (doc_id, _rotate(spans, doc_id))
 
@@ -135,9 +152,11 @@ def _noise_doc(k: int) -> tuple:
 def fixture_documents(spark: SparkSession, n_noise: int = 5) -> DataFrame:
     """The fixture circuit as ~31 interleaved documents."""
     rows = []
-    for pop, nid, mtype, etype, sclass, _layer, _region, morph in fixture.NEURONS:
-        rows.append(_node_doc(pop, nid, mtype, etype, sclass, morph))
-        rows.append(_node_doc(pop, nid, mtype, etype, sclass, morph, alias=True))
+    for pop, nid, mtype, etype, sclass, layer, region, morph in fixture.NEURONS:
+        rows.append(_node_doc(pop, nid, mtype, etype, sclass, layer, region, morph))
+        rows.append(
+            _node_doc(pop, nid, mtype, etype, sclass, layer, region, morph, alias=True)
+        )
     for seq, (_ep, sp, si, tp, ti) in enumerate(fixture.EDGES):
         rows.append(_edge_doc(seq, sp, si, tp, ti))
     rows.extend(_noise_doc(k) for k in range(n_noise))
@@ -233,6 +252,8 @@ def synthetic_documents(
     etype = F.format_string("ET%01d", F.pmod(F.xxhash64(pop, nid, F.lit("et")), F.lit(n_etypes)))
     sclass = F.when(F.pmod(F.xxhash64(pop, nid, F.lit("sc")), F.lit(2)) == 0, "EXC").otherwise("INH")
     morph = F.format_string("m%012d", F.pmod(F.xxhash64(pop, nid, F.lit("mo")), F.lit(10**9)))
+    layer = F.format_string("L%d", F.pmod(F.xxhash64(pop, nid, F.lit("ly")), F.lit(6)) + 1)
+    region = F.format_string("R%02d", F.pmod(F.xxhash64(pop, nid, F.lit("rg")), F.lit(20)))
 
     def span(kind, text, media_ref, offset):
         return F.struct(
@@ -252,6 +273,8 @@ def synthetic_documents(
             span("text", F.concat(F.lit("sclass "), sclass), e, 3),
             span("media", e, F.concat(F.lit("morph://"), morph), 4),
             span("text", F.concat(F.lit("population "), surf_pop), e, 5),
+            span("text", F.concat(F.lit("layer "), layer), e, 6),
+            span("text", F.concat(F.lit("region "), region), e, 7),
         ).alias("spans"),
     )
 

@@ -255,21 +255,36 @@ def minhash_near_duplicates(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_expr(shingles_col: str, seed: int = 42) -> Column:
+def simhash_expr(
+    shingles_col: str, seed: int = 42, hash_impl: str = "xxhash64"
+) -> Column:
     """64-bit SimHash of a shingle-array column, as bigint.
 
-    Per-bit vote: sum over shingles of ±1 by bit of xxhash64(shingle);
+    Per-bit vote: sum over shingles of ±1 by bit of the shingle hash;
     bit j of the result = (vote_j > 0). Pure higher-order SQL expressions
     (the python ``shiftright`` helper only takes literal shift amounts, so
     this is authored as SQL): one ``aggregate`` over the shingle array with
     a 64-long accumulator — no explode, no shuffle.
+
+    ``hash_impl``: ``'xxhash64'`` (default, fastest, JVM-only) or
+    ``'md5'`` — a 60-bit hash from the first 15 hex chars of md5, which
+    DuckDB reproduces exactly (``('0x'||substr(md5(s),1,15))::BIGINT``),
+    making the whole simhash value cross-engine-verifiable. Bits 60-63
+    of the md5 variant are always 0 (votes stay negative), so chunk
+    banding and Hamming math are unaffected.
     """
+    if hash_impl == "xxhash64":
+        hash_sql = f"xxhash64(s, {seed})"
+    elif hash_impl == "md5":
+        hash_sql = "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)"
+    else:
+        raise ValueError(f"unknown hash_impl: {hash_impl}")
     return F.expr(
         f"""
         aggregate(
           zip_with(
             aggregate(
-              transform({shingles_col}, s -> xxhash64(s, {seed})),
+              transform({shingles_col}, s -> {hash_sql}),
               transform(sequence(0, 63), j -> cast(0 as bigint)),
               (acc, h) -> zip_with(
                 acc,
@@ -296,18 +311,20 @@ def simhash_near_duplicates(
     shingle_k: int = 5,
     max_hamming: int = 3,
     seed: int = 42,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
     Candidate generation: 16-bit chunk banding (two signatures within
     Hamming ≤ 3 must agree on ≥1 of 4 chunks — pigeonhole); exact
-    ``bit_count(xor)`` verification on candidates.
+    ``bit_count(xor)`` verification on candidates. ``hash_impl='md5'``
+    makes the output DuckDB-reproducible (see :func:`simhash_expr`).
     """
     sh = add_shingles(
         _spread(df.select(F.col(id_col).alias("_id"), text_col), "_id"),
         text_col,
         shingle_k,
-    ).select("_id", simhash_expr("shingles", seed).alias("sh"))
+    ).select("_id", simhash_expr("shingles", seed, hash_impl).alias("sh"))
     chunked = sh.select(
         "_id",
         "sh",
@@ -347,27 +364,44 @@ def ngram_jaccard_pairs(
     shingle_k: int = 1,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """All-pairs shingle Jaccard ≥ threshold (small inputs / oracle checks).
+    """Exact shingle-Jaccard pairs ≥ threshold via a shingle inverted index.
 
-    k=1 matches DuckDB's character-set ``jaccard`` for cross-validation.
-    At scale, use :func:`minhash_near_duplicates` — this one is the exact
-    reference implementation.
+    No cartesian product: explode shingles → self-equi-join on the shingle
+    (posting-list join) → per-pair match count m → Jaccard =
+    m / (|A| + |B| − m). Shingle arrays are distinct (``shingle_expr``
+    applies ``array_distinct``), so the count equals |A ∩ B| exactly —
+    identical output to the all-pairs formulation, but the only pairs ever
+    materialized are those sharing ≥1 shingle, and the join is a shuffle
+    hash join on the shingle key. k=1 matches DuckDB's character-set
+    ``jaccard`` for cross-validation.
+
+    Requires ``threshold > 0``: zero-overlap pairs never enter the index
+    (they can't score above any positive threshold anyway). Skew note: a
+    shingle appearing in p docs contributes p² join rows; at k≥5 posting
+    lists are naturally short, at k=1 the domain is alphabet-sized — use
+    :func:`minhash_near_duplicates` for web-scale corpora.
     """
+    if threshold <= 0:
+        raise ValueError("inverted-index Jaccard requires threshold > 0")
     sh = add_shingles(
         _spread(df.select(F.col(id_col), text_col), id_col), text_col, shingle_k
     ).select(id_col, "shingles")
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        a.crossJoin(b)
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n"))
+    posts = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    a = posts.select(F.col(id_col).alias("id_a"), "shingle")
+    b = posts.select(F.col(id_col).alias("id_b"), "shingle")
+    matches = (
+        a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        matches.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+            F.round(F.col("m") / (F.col("n_a") + F.col("n_b") - F.col("m")), 6),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -39,6 +39,10 @@ _ENTITY_RE = r"\b(neuron|mtype|etype|sclass|population)\s+(\S+)"
 _SYNAPSE_RE = r"\bsynapse\s+(\S+#\d+)\s*->\s*(\S+#\d+)"
 _PROP_RE = r"\bprop\s+(\w+)\s+(-?\d+(?:\.\d+)?)"
 _AFF_RE = r"\bafferent_section_type\s+(\w+)"
+# Plain node *properties* (not entities): the reference copies these onto
+# the Neuron node via ``SET n += node`` (neo4j_operations.py:339; values
+# gathered at data_extraction.py:52-58). They never hit the dictionary.
+_NODE_ATTR_RE = r"\b(layer|region)\s+(\S+)"
 
 def _sql_re(pattern: str) -> str:
     """Escape a regex for embedding inside a SQL string literal."""
@@ -131,10 +135,38 @@ def _extract_synapse(doc_text: pd.Series) -> pd.DataFrame:
     )
 
 
+@pandas_udf(MapType(StringType(), StringType()))
+def _extract_node_attrs(doc_text: pd.Series) -> pd.Series:
+    """Arrow-batched layer/region property extraction.
+
+    Same substring pre-mask pattern as :func:`_extract_synapse`: only docs
+    containing one of the attribute keywords run the extractall. Both impls
+    share the gate semantics (populated iff the keyword substring appears).
+    """
+    mask = (
+        doc_text.str.contains("layer", regex=False)
+        | doc_text.str.contains("region", regex=False)
+    ).fillna(False)
+    sub = doc_text[mask]
+    out = pd.Series([None] * len(doc_text), index=doc_text.index, dtype=object)
+    if not sub.empty:
+        hits = sub.str.extractall(_NODE_ATTR_RE)
+        if not hits.empty:
+            hits = hits.reset_index(level=1, drop=True)
+            kv = pd.Series(
+                list(zip(hits[0].tolist(), hits[1].tolist(), strict=True)),
+                index=hits.index,
+            )
+            grouped = kv.groupby(level=0).agg(list).map(dict)
+            out.loc[grouped.index] = grouped
+    return out
+
+
 def extract_documents(parsed: DataFrame, impl: str = "arrow") -> DataFrame:
     """ONE pass over document text -> compact extraction frame.
 
-    Output: (doc_id, media_refs, mentions array<struct>, synapse struct).
+    Output: (doc_id, media_refs, mentions array<struct>, synapse struct,
+    node_attrs map<string,string> — layer/region property payloads).
     Both pandas UDFs sit in the same projection, so Spark fuses them into a
     single ArrowEvalPython node — the text crosses the Arrow boundary once.
     The result is ~100× smaller than the raw text, which is what makes it
@@ -148,6 +180,7 @@ def extract_documents(parsed: DataFrame, impl: str = "arrow") -> DataFrame:
             "media_refs",
             _extract_entity_mentions("doc_text").alias("mentions"),
             _extract_synapse("doc_text").alias("synapse"),
+            _extract_node_attrs("doc_text").alias("node_attrs"),
         )
     if impl == "native":
         pairs = F.expr(f"regexp_extract_all(doc_text, '{_sql_re(_ENTITY_RE)}', 0)")
@@ -158,6 +191,21 @@ def extract_documents(parsed: DataFrame, impl: str = "arrow") -> DataFrame:
                 f" h -> struct(regexp_extract(h, '{prop_sql}', 1),"
                 f" cast(regexp_extract(h, '{prop_sql}', 2) as double)))"
             )
+        )
+        # Gate props/afferent on the same 'synapse' substring the arrow
+        # impl pre-masks with, so the two impls agree on every input —
+        # including a 'prop ...' line in a doc with no synapse statement.
+        has_syn = F.contains(F.col("doc_text"), F.lit("synapse"))
+        attr_sql = _sql_re(_NODE_ATTR_RE)
+        attrs_expr = F.map_from_entries(
+            F.expr(
+                f"transform(regexp_extract_all(doc_text, '{attr_sql}', 0),"
+                f" h -> struct(regexp_extract(h, '{attr_sql}', 1),"
+                f" regexp_extract(h, '{attr_sql}', 2)))"
+            )
+        )
+        has_attr = F.contains(F.col("doc_text"), F.lit("layer")) | F.contains(
+            F.col("doc_text"), F.lit("region")
         )
         return parsed.select(
             "doc_id",
@@ -176,11 +224,13 @@ def extract_documents(parsed: DataFrame, impl: str = "arrow") -> DataFrame:
                 F.nullif(F.regexp_extract("doc_text", _SYNAPSE_RE, 2), F.lit("")).alias(
                     "tgt_surface"
                 ),
-                F.when(F.size(props_expr) > 0, props_expr).alias("props"),
-                F.nullif(F.regexp_extract("doc_text", _AFF_RE, 1), F.lit("")).alias(
-                    "afferent_section_type"
-                ),
+                F.when(has_syn & (F.size(props_expr) > 0), props_expr).alias("props"),
+                F.when(
+                    has_syn,
+                    F.nullif(F.regexp_extract("doc_text", _AFF_RE, 1), F.lit("")),
+                ).alias("afferent_section_type"),
             ).alias("synapse"),
+            F.when(has_attr & (F.size(attrs_expr) > 0), attrs_expr).alias("node_attrs"),
         )
     raise ValueError(f"unknown impl: {impl}")
 
@@ -193,7 +243,7 @@ def mentions_from_extracted(extracted: DataFrame) -> DataFrame:
     union of two selects would read it twice, recomputing the UDFs when
     the frame isn't persisted)."""
     media_as_mentions = F.transform(
-        "media_refs",
+        F.coalesce("media_refs", F.array().cast("array<string>")),
         lambda r: F.struct(F.lit("media").alias("kind"), r.alias("surface")),
     )
     return extracted.select(

@@ -55,11 +55,21 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def synthesize_media(spark, refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+def synthesize_media(
+    spark, refs: DataFrame, ref_col: str = "media_ref", hash_impl: str = "xxhash64"
+) -> DataFrame:
     """Deterministic fake media table for the given refs (payload = seeded
     bytes, metadata derived from the ref hash). Real pipelines read these
-    from object storage; shape is identical."""
-    h = F.xxhash64(F.col(ref_col))
+    from object storage; shape is identical.
+
+    ``hash_impl='md5'`` derives the metadata from a 60-bit md5 prefix that
+    DuckDB reproduces exactly (``('0x'||substr(md5(ref),1,15))::BIGINT``),
+    so the whole media table is cross-engine-verifiable; the default
+    xxhash64 stays the fast JVM path."""
+    if hash_impl == "md5":
+        h = F.conv(F.substring(F.md5(F.col(ref_col)), 1, 15), 16, 10).cast("bigint")
+    else:
+        h = F.xxhash64(F.col(ref_col))
     return refs.select(
         F.col(ref_col).alias("media_ref"),
         F.element_at(
@@ -102,14 +112,24 @@ def resize_media(
                     "not available in this environment"
                 )
             visual = pdf["media_type"].isin(["image", "video"]).to_numpy()
-            w = pdf["width"].to_numpy(dtype="float64")
-            h = pdf["height"].to_numpy(dtype="float64")
-            scale = np.minimum(1.0, np.minimum(max_width / w, max_height / h))
-            new_w = np.where(visual, np.maximum(1, np.floor(w * scale)), w)
-            new_h = np.where(visual, np.maximum(1, np.floor(h * scale)), h)
+            # MEDIA_SCHEMA permits null dims (natural for audio rows):
+            # resize only rows that are visual AND fully dimensioned,
+            # pass everything else through unchanged — nulls included.
+            w_ser = pdf["width"].astype("Int32")
+            h_ser = pdf["height"].astype("Int32")
+            w = w_ser.to_numpy(dtype="float64", na_value=np.nan)
+            h = h_ser.to_numpy(dtype="float64", na_value=np.nan)
+            valid = visual & np.isfinite(w) & np.isfinite(h)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                scale = np.minimum(1.0, np.minimum(max_width / w, max_height / h))
+                new_w = np.maximum(1.0, np.floor(w * scale))
+                new_h = np.maximum(1.0, np.floor(h * scale))
+            w_out, h_out = w_ser.copy(), h_ser.copy()
+            w_out[valid] = new_w[valid].astype("int64")
+            h_out[valid] = new_h[valid].astype("int64")
             out = pdf.copy()
-            out["width"] = pd.array(new_w.astype("int64"), dtype="Int32")
-            out["height"] = pd.array(new_h.astype("int64"), dtype="Int32")
+            out["width"] = w_out
+            out["height"] = h_out
             yield out
 
     return media.mapInPandas(kernel, MEDIA_SCHEMA)

@@ -42,6 +42,58 @@ def sample_by_hash(
     )
 
 
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    seed: int = 42,
+    rank_expr: F.Column | None = None,
+) -> DataFrame:
+    """Exact-count sample: the ``k`` rows with the smallest
+    ``xxhash64(key, seed)`` — deterministic under any partitioning.
+
+    ≙ the reference's exact-k edge sample
+    (``random.sample(range(total), int(total*p))``,
+    data_extraction.py:119-136) and pandas' exact-count ``sample(frac)``
+    (data_extraction.py:74). Hash-rank instead of ``rand(seed)``:
+    ``rand`` is partitioning-dependent (seed is per-partition), so the
+    same seed at N and 4N executors would pick different rows — the hash
+    rank picks the same ``k`` rows everywhere, which the N-vs-4N
+    determinism rule requires.
+
+    ``orderBy().limit(k)`` plans TakeOrderedAndProject: per-partition
+    top-k then a single merge of k·P rows, never a global sort.
+
+    ``rank_expr`` overrides the default xxhash64 rank (e.g. md5 for an
+    engine-portable ordering a DuckDB oracle can reproduce).
+    """
+    if k <= 0:
+        return df.where(F.lit(False))
+    rank = (
+        rank_expr
+        if rank_expr is not None
+        else F.xxhash64(F.col(key_col), F.lit(seed))
+    )
+    return df.orderBy(rank, F.col(key_col)).limit(k)
+
+
+def sample_exact_fraction(
+    df: DataFrame, proportion: float, key_col: str, seed: int = 42
+) -> DataFrame:
+    """Exact-count fractional sample: exactly ``floor(total · p)`` rows.
+
+    ≙ ``int(total * proportion)`` in the reference (data_extraction.py:119).
+    Needs one counting pass (the reference pays the same: ``total`` comes
+    from the edge population size) + one TakeOrdered pass.
+    """
+    if proportion >= 1.0:
+        return df
+    if proportion <= 0.0:
+        return df.where(F.lit(False))
+    k = int(df.count() * proportion)
+    return sample_exact_k(df, k, key_col, seed)
+
+
 def filter_node_set(neurons: DataFrame, node_set_pops: list[str] | None) -> DataFrame:
     """Node-set filter: keep neurons of the named populations.
 

@@ -213,16 +213,22 @@ def ivf_centroids(
     """Deterministic coarse centroids: the ``n_centroids`` corpus vectors
     with the smallest ``xxhash64(id, seed)`` — a seeded reservoir-style
     pick that needs one pass and no iterative k-means (good enough for a
-    coarse quantizer; swap in k-means rounds if cluster balance matters)."""
-    w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
-    return (
+    coarse quantizer; swap in k-means rounds if cluster balance matters).
+
+    ``orderBy().limit(n)`` plans TakeOrderedAndProject — per-partition
+    top-n then a driver-side merge of n·P rows — instead of the
+    single-partition shuffle a global window would need. The row_number
+    that mints ``centroid_id`` runs *after* the limit, over exactly
+    ``n_centroids`` rows."""
+    picked = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= n_centroids)
-        .select(
-            (F.col("_r") - 1).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
-        )
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(n_centroids)
+    )
+    w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+    return picked.select(
+        (F.row_number().over(w) - 1).alias("centroid_id"),
+        F.col(vec_col).alias("centroid_vec"),
     )
 
 
@@ -245,11 +251,8 @@ def ivf_ann_topk(
     the corpus-side assignment is reusable across query batches (at
     10^12 rows it would be materialized once, like an index).
 
-    NOTE on the centroid-selection window: ``ivf_centroids`` ranks with a
-    global window (single-partition shuffle of (id, vec) pairs only at the
-    top — acceptable because the ranking key is the hash, so Spark's
-    window TopK pushdown bounds it); at extreme scale replace with
-    ``orderBy(hash).limit(n)`` which plans TakeOrderedAndProject.
+    Centroid selection (``ivf_centroids``) plans TakeOrderedAndProject —
+    per-partition top-n + driver merge, no single-partition window shuffle.
     """
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col, seed)
     corpus_lists = ivf_assign(

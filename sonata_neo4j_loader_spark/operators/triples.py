@@ -117,6 +117,113 @@ def population_nodes(linked: DataFrame) -> DataFrame:
     )
 
 
+# mention kind -> node property key, ≙ the attribute column names the
+# reference discovers in the h5 node storage (data_extraction.py:52-58)
+# and copies onto the node wholesale with ``SET n += node``
+# (neo4j_operations.py:339).
+PROPERTY_KEYS: dict[str, str] = {
+    "mtype": "mtype",
+    "etype": "etype",
+    "sclass": "synapse_class",
+    "population": "population_name",
+    "media": "morphology",
+}
+
+
+def _strip_entity_prefix(col: F.Column) -> F.Column:
+    """'mtype:L4_PC' -> 'L4_PC' — property *values* are bare strings."""
+    return F.regexp_replace(col, "^[^:]+:", "")
+
+
+def neuron_properties(linked: DataFrame, extracted: DataFrame) -> DataFrame:
+    """Per-neuron property map ≙ the reference's ``SET n += node``.
+
+    Two value sources, unioned per document and keyed to the document's
+    neuron mention:
+
+    * co-mentioned entities (mtype/etype/sclass/population/morphology) —
+      the canonical entity id sans type prefix;
+    * plain attribute spans (layer/region) from the extraction frame's
+      ``node_attrs`` map — these are properties only, never dictionary
+      entities (reference stores them as h5 datasets, nodes_A.h5.txt).
+
+    Conflicting values for one (neuron, key) resolve to ``max`` —
+    deterministic under any partitioning, unlike the reference's
+    last-write-wins ``SET n +=`` which depends on UNWIND order.
+
+    Output: (entity_id, properties map<string,string>).
+    """
+    subjects = linked.where(F.col("kind") == "neuron").select(
+        "doc_id", F.col("entity_id").alias("entity_id")
+    )
+    key_map = F.create_map(
+        *[x for k, v in PROPERTY_KEYS.items() for x in (F.lit(k), F.lit(v))]
+    )
+    from_entities = linked.where(F.col("kind") != "neuron").select(
+        "doc_id",
+        key_map[F.col("kind")].alias("key"),
+        _strip_entity_prefix(F.col("entity_id")).alias("value"),
+    ).where(F.col("key").isNotNull())
+    from_attrs = extracted.select(
+        "doc_id", F.explode("node_attrs").alias("key", "value")
+    )
+    pairs = from_entities.unionByName(from_attrs)
+    return (
+        subjects.join(pairs, "doc_id")
+        .groupBy("entity_id", "key")
+        .agg(F.max("value").alias("value"))
+        .groupBy("entity_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("key", "value")))
+            ).alias("properties")
+        )
+    )
+
+
+def population_properties(linked: DataFrame) -> DataFrame:
+    """Per-population property map ≙ ``SET p += population``
+    (neo4j_operations.py:316; payload built at data_extraction.py:66-72:
+    {name, size}). Size = distinct member neurons observed in the corpus —
+    the document-world analogue of ``population.size``. String-typed map
+    (Neo4j properties are heterogeneous; typed columns live in the flat
+    contract queries).
+    """
+    pops = linked.where(F.col("kind") == "population").select(
+        "doc_id", F.col("entity_id").alias("entity_id")
+    )
+    members = linked.where(F.col("kind") == "neuron").select(
+        "doc_id", F.col("entity_id").alias("member_id")
+    )
+    return (
+        pops.join(members, "doc_id")
+        .groupBy("entity_id")
+        .agg(F.countDistinct("member_id").alias("size"))
+        .select(
+            "entity_id",
+            F.map_from_entries(
+                F.array(
+                    F.struct(
+                        F.lit("name").alias("key"),
+                        _strip_entity_prefix(F.col("entity_id")).alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("size").alias("key"),
+                        F.col("size").cast("string").alias("value"),
+                    ),
+                )
+            ).alias("properties"),
+        )
+    )
+
+
+def node_properties(linked: DataFrame, extracted: DataFrame) -> DataFrame:
+    """Union of neuron + population property payloads, one row per node."""
+    return neuron_properties(linked, extracted).unionByName(
+        population_properties(linked)
+    )
+
+
 def node_table(linked: DataFrame) -> DataFrame:
     """All distinct graph nodes with labels — the ``nodes`` output table.
 

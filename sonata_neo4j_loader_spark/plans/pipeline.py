@@ -44,10 +44,13 @@ def build_triples(
     """Run the six-stage plan; returns the output table family.
 
     Returns dict with:
-      * ``nodes``  — (entity_id, label)
+      * ``nodes``  — (entity_id, label, properties map) — the map carries
+        the full per-node payload ≙ ``SET n += node`` / ``SET p +=
+        population`` (neo4j_operations.py:339,316)
       * ``attribute_triples`` — deduped neuron-attribute triples
       * ``synapse_triples``   — multiset SYNAPSES_ONTO with props
       * ``aggregate_triples`` — AGGREGATED_SYNAPSE_* rows
+      * ``node_properties``   — (entity_id, properties) standalone table
       * ``invariant_violations`` — docs whose span sequence broke (audit)
     """
     cfg = config or PipelineConfig()
@@ -170,13 +173,18 @@ def build_triples(
                 )
             )
 
-    nodes = triples.node_table(linked)
+    # node property payloads (SET n += node / SET p += population):
+    # dimension-sized (one row per graph node), left-joined onto the node
+    # table — broadcast-sized relative to the corpus, never a wide shuffle.
+    node_props = triples.node_properties(linked, extracted)
+    nodes = triples.node_table(linked).join(node_props, "entity_id", "left")
 
     return {
         "nodes": nodes,
         "attribute_triples": attr,
         "synapse_triples": syn,
         "aggregate_triples": agg_frames,
+        "node_properties": node_props,
         "invariant_violations": violations,
     }
 

@@ -115,6 +115,31 @@ def spike_nodes(spikes: DataFrame) -> DataFrame:
     )
 
 
+def edges_between_spiked_neurons(
+    edges: DataFrame,
+    spikes: DataFrame,
+    src_col: str = "subj",
+    tgt_col: str = "obj",
+    broadcast_spikers: bool = True,
+) -> DataFrame:
+    """End-to-end ≙ ``extract_edges_between_spiked_neurons``
+    (base_simulation_loader.py:84-117): distinct spikers
+    (``filter_spiked_neurons``, :65-66) → keep edges whose BOTH endpoints
+    spiked (the isin-mask pair, :104) → dedupe on the endpoint pair
+    (``drop_duplicates(subset=["source_node_id","target_node_id"])``, :106).
+
+    The reference materializes the spiker set on the driver (a Python
+    ``set``) — here it is two semi-joins, broadcast when dimension-sized.
+    """
+    from ..operators.sampling import restrict_edges_to_neurons
+
+    spikers = distinct_spikers(spikes)
+    restricted = restrict_edges_to_neurons(
+        edges, spikers, src_col, tgt_col, broadcast_neurons=broadcast_spikers
+    )
+    return restricted.dropDuplicates([src_col, tgt_col])
+
+
 def has_spike_triples(spikes: DataFrame, neurons: DataFrame) -> DataFrame:
     """(neuron)-[:HAS_SPIKE]->(spike) with MATCH drop semantics.
 

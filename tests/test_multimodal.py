@@ -60,6 +60,24 @@ def test_resize_geometry(media):
         assert o.payload == r.payload  # stub never touches pixels
 
 
+def test_resize_preserves_null_dims(spark):
+    # MEDIA_SCHEMA permits null width/height (natural for audio, possible
+    # for any external media table) — resize must pass nulls through, not
+    # crash on NaN→Int32 conversion.
+    rows = [
+        ("a://1", "audio", None, None, None, 5000),
+        ("i://2", "image", None, None, 400, 5000),  # half-dimensioned
+        ("i://3", "image", None, 640, 480, None),
+        ("v://4", "video", None, None, None, 9000),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_ref: r for r in multimodal.resize_media(media, 224, 224).collect()}
+    assert (out["a://1"].width, out["a://1"].height) == (None, None)
+    assert (out["i://2"].width, out["i://2"].height) == (None, 400)
+    assert (out["i://3"].width, out["i://3"].height) == (224, 168)
+    assert (out["v://4"].width, out["v://4"].height) == (None, None)
+
+
 def test_real_codec_path_is_gated(media):
     with pytest.raises(Exception, match="NotImplementedError|Pillow"):
         multimodal.extract_features(media, deterministic=False).collect()

@@ -122,6 +122,39 @@ def test_hash_sample_is_scan_local(spark):
     assert "Exchange" not in plan
 
 
+def test_ngram_jaccard_has_no_cartesian(spark):
+    # exact Jaccard pairs run off a shingle inverted index: the physical
+    # plan must contain no all-pairs node — the join is an equi join on
+    # the shingle key
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.ngram_jaccard_near_dups(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_centroid_pick_is_take_ordered(spark):
+    # seeded centroid pick must plan TakeOrderedAndProject (per-partition
+    # top-n + driver merge), not a single-partition global window sort
+    from sonata_neo4j_loader_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(similarity.ivf_centroids(emb, n_centroids=16))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_extraction_stage_is_one_arrow_pass(spark):
+    # the mention + synapse + node-attr UDFs must stay fused into a single
+    # ArrowEvalPython node (one Arrow boundary crossing per document) — a
+    # refactor that splits them re-ships the corpus text once per UDF
+    from sonata_neo4j_loader_spark.operators import mentions
+
+    docs = dg.fixture_documents(spark)
+    parsed = parse.parse_documents(docs).where(F.col("spans_valid"))
+    plan = _plan(mentions.extract_documents(parsed, impl="arrow"))
+    assert plan.count("ArrowEvalPython") == 1
+
+
 def test_distinct_agg_two_phase(spark):
     # q16: COUNT(DISTINCT) plans as partial dedupe + final count (two
     # HashAggregate pairs; AQE pre-final plan string omits codegen markers)

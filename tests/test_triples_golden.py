@@ -72,6 +72,35 @@ def test_node_table_labels(outputs):
     assert not any(e.startswith("neuron:nodea") for e, _ in rows)
 
 
+def test_node_properties_payload(outputs):
+    """≙ ``SET n += node`` / ``SET p += population``
+    (neo4j_operations.py:339,316): every discovered attribute lands on the
+    node — layer/region (plain property spans), morphology, mtype, etype,
+    synapse_class, population_name. Runs under both mention impls, so
+    arrow/native parity of the node_attrs extraction is covered too."""
+    props = {r["entity_id"]: r["properties"] for r in outputs["node_properties"].collect()}
+    for pop, nid, mtype, etype, sclass, layer, region, morph in fixture.NEURONS:
+        p = props[fixture.neuron_entity(pop, nid)]
+        assert p == {
+            "layer": layer,
+            "region": region,
+            "morphology": morph,
+            "mtype": mtype,
+            "etype": etype,
+            "synapse_class": sclass,
+            "population_name": pop,
+        }
+    pop_sizes: dict[str, int] = {}
+    for pop, *_ in fixture.NEURONS:
+        pop_sizes[pop] = pop_sizes.get(pop, 0) + 1
+    for pop, size in pop_sizes.items():
+        assert props[f"pop:{pop}"] == {"name": pop, "size": str(size)}
+    # the nodes table carries the same map
+    node_rows = {r["entity_id"]: r for r in outputs["nodes"].collect()}
+    assert node_rows["neuron:NodeA:0"]["properties"]["layer"] == "LA"
+    assert node_rows["pop:NodeA"]["properties"]["size"] == "3"
+
+
 def test_aggregated_synapse_mtype(outputs):
     golden = fixture.golden_aggregates("mtype")
     agg = next(
