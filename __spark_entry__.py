@@ -581,22 +581,31 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with the md5 plane twin: the DuckDB oracle
+    recomputes the identical hyperplanes, buckets, band join, and rounded
+    cosine re-rank — full value adjudication of the approximate index, not
+    just a recall bound (recall-vs-brute stays pytest-pinned for the
+    default xxhash64 path)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_ann_topk(emb, queries_df, k=10)
+    return similarity.lsh_ann_topk(emb, queries_df, k=10, hash_impl="md5")
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (coarse quantizer + in-list re-rank) — the third
-    scale path next to brute force and hyperplane LSH. Hash-seeded centroid
-    pick → rows-only (recall vs brute force is pytest-pinned)."""
+    scale path next to brute force and hyperplane LSH. md5 centroid pick:
+    the DuckDB oracle reproduces centroids, inverted-list assignment,
+    query probes, and the rounded cosine re-rank exactly (recall vs brute
+    force stays pytest-pinned for the default xxhash64 path)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_ann_topk(emb, queries_df, k=10, n_centroids=16, nprobe=4)
+    return similarity.ivf_ann_topk(
+        emb, queries_df, k=10, n_centroids=16, nprobe=4, hash_impl="md5"
+    )
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1450,6 +1459,112 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id, vec_id, round(rawcos, 6) AS cos,
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY rawcos DESC, vec_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
+        # LSH md5 twin re-derived end-to-end: hyperplane components from
+        # md5('plane:{seed}:{p}:{j}'), sign-bit buckets, 3x4-bit band join,
+        # exact rounded-cosine re-rank. Sequential list_sum matches Spark's
+        # aggregate() fold order, so doubles agree bit-for-bit.
+        "ann_lsh_topk": """
+            WITH emb AS (
+              SELECT vec_id,
+                     list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+              FROM embeddings
+            ), bits AS (
+              SELECT vec_id, p,
+                     CASE WHEN list_sum(
+                       [e[j + 1] *
+                        ((('0x' || substr(md5('plane:42:' || p || ':' || j),
+                                          1, 15))::BIGINT % 2000001
+                          - 1000000) / 1000000.0)
+                        for j in range(64)]) >= 0
+                     THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+              FROM emb, (SELECT unnest(range(12)) AS p)
+            ), buckets AS (
+              SELECT vec_id, (p // 4) AS band, sum(bit << (p % 4)) AS bucket
+              FROM bits GROUP BY 1, 2
+            ), cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+              FROM buckets q JOIN buckets c
+                ON q.band = c.band AND q.bucket = c.bucket
+              WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+            ), scored AS (
+              SELECT cand.query_id, cand.vec_id,
+                     list_sum(list_transform(list_zip(qe.e, ce.e),
+                              x -> x[1] * x[2]))
+                     / (sqrt(list_sum(list_transform(qe.e, v -> v * v)))
+                      * sqrt(list_sum(list_transform(ce.e, v -> v * v))))
+                       AS rawcos
+              FROM cand
+              JOIN emb qe ON qe.vec_id = cand.query_id
+              JOIN emb ce ON ce.vec_id = cand.vec_id
+            )
+            SELECT query_id, vec_id, cos, rank FROM (
+              SELECT query_id, vec_id, round(rawcos, 6) AS cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(rawcos, 6) DESC, vec_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
+        # IVF md5 twin: centroid pick by md5(id) rank, nprobe=1 corpus
+        # assignment / nprobe=4 query probes by unrounded cosine
+        # (tie-break centroid_id), in-list rounded-cosine re-rank.
+        "ann_ivf_topk": """
+            WITH emb AS (
+              SELECT vec_id,
+                     list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+              FROM embeddings
+            ), cents AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                       AS centroid_id,
+                     e AS ce
+              FROM (SELECT vec_id, e FROM emb
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+            ), assign AS (
+              SELECT vec_id, centroid_id FROM (
+                SELECT emb.vec_id, cents.centroid_id,
+                       row_number() OVER (PARTITION BY emb.vec_id
+                         ORDER BY
+                           list_sum(list_transform(list_zip(emb.e, cents.ce),
+                                    x -> x[1] * x[2]))
+                           / (sqrt(list_sum(list_transform(emb.e, v -> v * v)))
+                            * sqrt(list_sum(list_transform(cents.ce, v -> v * v))))
+                           DESC, cents.centroid_id ASC) AS r
+                FROM emb, cents
+              ) WHERE r = 1
+            ), probes AS (
+              SELECT query_id, centroid_id FROM (
+                SELECT emb.vec_id AS query_id, cents.centroid_id,
+                       row_number() OVER (PARTITION BY emb.vec_id
+                         ORDER BY
+                           list_sum(list_transform(list_zip(emb.e, cents.ce),
+                                    x -> x[1] * x[2]))
+                           / (sqrt(list_sum(list_transform(emb.e, v -> v * v)))
+                            * sqrt(list_sum(list_transform(cents.ce, v -> v * v))))
+                           DESC, cents.centroid_id ASC) AS r
+                FROM emb, cents WHERE emb.vec_id < 5
+              ) WHERE r <= 4
+            ), cand AS (
+              SELECT DISTINCT p.query_id, a.vec_id
+              FROM probes p JOIN assign a USING (centroid_id)
+              WHERE a.vec_id <> p.query_id
+            ), scored AS (
+              SELECT cand.query_id, cand.vec_id,
+                     list_sum(list_transform(list_zip(qe.e, ce.e),
+                              x -> x[1] * x[2]))
+                     / (sqrt(list_sum(list_transform(qe.e, v -> v * v)))
+                      * sqrt(list_sum(list_transform(ce.e, v -> v * v))))
+                       AS rawcos
+              FROM cand
+              JOIN emb qe ON qe.vec_id = cand.query_id
+              JOIN emb ce ON ce.vec_id = cand.vec_id
+            )
+            SELECT query_id, vec_id, cos, rank FROM (
+              SELECT query_id, vec_id, round(rawcos, 6) AS cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(rawcos, 6) DESC, vec_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 10
         """,

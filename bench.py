@@ -153,6 +153,10 @@ def main() -> None:
                 "kg_docs_per_sec": round(n_docs / kg_sec, 1),
                 "kg_triples": counts,
                 "cpus": cpus,
+                # timing methodology marker: one untimed warmup pass, then
+                # min of 2 timed passes per query and for the KG leg —
+                # numbers are NOT comparable with pre-marker bench JSONs
+                "methodology": "warmup+min-of-2",
             }
         )
     )

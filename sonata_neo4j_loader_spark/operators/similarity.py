@@ -75,17 +75,52 @@ def brute_force_topk(
     )
 
 
-def _plane_bit(vec: Column, plane: int, dim: int, seed: int) -> Column:
-    """Sign bit of <vec, plane_p> with plane components derived from
-    xxhash64(plane, dim, seed) ∈ [-1, 1] — deterministic, model-free."""
-    comps = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            F.pmod(F.xxhash64(F.lit(plane), j, F.lit(seed)), F.lit(2000001)).cast("double")
-            - 1000000.0
+def _md5_plane_components(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Driver-computed plane components from md5 — the cross-engine twin.
+
+    Planes are model-sized metadata (n_planes·dim floats), so computing
+    them once on the driver is like broadcasting a tiny model; a DuckDB
+    oracle recomputes the identical values from the same md5 recipe:
+    ``(('0x'||substr(md5('plane:{seed}:{p}:{j}'),1,15))::BIGINT % 2000001
+    - 1000000) / 1000000.0``.
+    """
+    import hashlib as _hl
+
+    comps = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = int(
+                _hl.md5(f"plane:{seed}:{p}:{j}".encode()).hexdigest()[:15], 16
+            )
+            row.append((h % 2000001 - 1000000) / 1000000.0)
+        comps.append(row)
+    return comps
+
+
+def _plane_bit(
+    vec: Column, plane: int, dim: int, seed: int, hash_impl: str = "xxhash64"
+) -> Column:
+    """Sign bit of <vec, plane_p> with plane components derived from a hash
+    of (plane, dim, seed) ∈ [-1, 1] — deterministic, model-free.
+
+    ``hash_impl='md5'`` embeds driver-computed literal components
+    (:func:`_md5_plane_components`) so a DuckDB oracle reproduces the
+    buckets exactly; the default xxhash64 derives them inline JVM-side.
+    """
+    if hash_impl == "md5":
+        comps = F.array(
+            *[F.lit(c) for c in _md5_plane_components(plane + 1, dim, seed)[plane]]
         )
-        / 1000000.0,
-    )
+    else:
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.lit(plane), j, F.lit(seed)), F.lit(2000001)).cast("double")
+                - 1000000.0
+            )
+            / 1000000.0,
+        )
     return (
         F.aggregate(
             F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
@@ -96,14 +131,17 @@ def _plane_bit(vec: Column, plane: int, dim: int, seed: int) -> Column:
     )
 
 
-def lsh_bucket_bits(vec: Column, n_planes: int, dim: int, seed: int = 42) -> Column:
+def lsh_bucket_bits(
+    vec: Column, n_planes: int, dim: int, seed: int = 42, hash_impl: str = "xxhash64"
+) -> Column:
     """Pack ``n_planes`` hyperplane sign bits into a bigint bucket key."""
     out = F.lit(0).cast("long")
     for p in range(n_planes):
         out = out.bitwiseOR(
-            F.when(_plane_bit(vec, p, dim, seed), F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                _plane_bit(vec, p, dim, seed, hash_impl),
+                F.shiftleft(F.lit(1).cast("long"), p),
+            ).otherwise(F.lit(0).cast("long"))
         )
     return out
 
@@ -119,6 +157,7 @@ def lsh_ann_topk(
     n_planes: int = 12,
     bands: int = 3,
     seed: int = 42,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join + exact re-rank.
 
@@ -126,12 +165,12 @@ def lsh_ann_topk(
     vectors agreeing on any full band become candidates; exact cosine
     re-ranks. At 10^12 scale the bucket join replaces the O(|Q|·N) scan
     with |Q|·(expected bucket size)·bands work; band count trades recall
-    for cost.
+    for cost. ``hash_impl='md5'`` makes buckets DuckDB-reproducible.
     """
     bits_per_band = n_planes // bands
 
     def band_structs(vec: Column) -> Column:
-        bits = lsh_bucket_bits(vec, n_planes, dim, seed)
+        bits = lsh_bucket_bits(vec, n_planes, dim, seed, hash_impl)
         mask = (1 << bits_per_band) - 1
         return F.array(
             *[
@@ -209,6 +248,7 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic coarse centroids: the ``n_centroids`` corpus vectors
     with the smallest ``xxhash64(id, seed)`` — a seeded reservoir-style
@@ -219,13 +259,20 @@ def ivf_centroids(
     top-n then a driver-side merge of n·P rows — instead of the
     single-partition shuffle a global window would need. The row_number
     that mints ``centroid_id`` runs *after* the limit, over exactly
-    ``n_centroids`` rows."""
+    ``n_centroids`` rows.
+
+    ``hash_impl='md5'`` ranks by ``md5(cast(id as string))`` — the
+    DuckDB-reproducible twin (``ORDER BY md5(CAST(id AS VARCHAR))``)."""
+    if hash_impl == "md5":
+        rank = F.md5(F.col(id_col).cast("string"))
+    else:
+        rank = F.xxhash64(F.col(id_col), F.lit(seed))
     picked = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .orderBy(rank, F.col(id_col))
         .limit(n_centroids)
     )
-    w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+    w = Window.orderBy(rank, F.col(id_col))
     return picked.select(
         (F.row_number().over(w) - 1).alias("centroid_id"),
         F.col(vec_col).alias("centroid_vec"),
@@ -242,6 +289,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantizer + in-list exact re-rank.
 
@@ -254,7 +302,7 @@ def ivf_ann_topk(
     Centroid selection (``ivf_centroids``) plans TakeOrderedAndProject —
     per-partition top-n + driver merge, no single-partition window shuffle.
     """
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col, seed)
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col, seed, hash_impl)
     corpus_lists = ivf_assign(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
         cents,
