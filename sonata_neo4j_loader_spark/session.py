@@ -48,6 +48,11 @@ def get_spark(
         # fields inside the spans array down to what each stage touches.
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # zstd over the default snappy: ~30% smaller files at comparable
+        # decode speed — at 100 TB the scan is I/O-bound, so the ratio win
+        # is a throughput win; every mainstream reader (incl. DuckDB)
+        # decodes zstd parquet.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -40,6 +40,67 @@ def ts(minute, hour=0):
     return T0.replace(hour=hour, minute=minute)
 
 
+def test_stream_matches_batch_sessionization(spark, tmp_path):
+    """The stateful stream must reproduce the batch ``events_sessions``
+    semantics on REAL data: same 1800 s gap rule, same per-session counts
+    and sums. A far-future sentinel event per user flushes every real
+    session out of the state store; sentinel-only sessions are excluded
+    from the comparison."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where(F.col("user_id") < 10)
+        .select(F.col("ts").cast("timestamp").alias("event_time"), "user_id", "value")
+    )
+    sentinels = ev.groupBy("user_id").agg(
+        (F.max("event_time") + F.expr("INTERVAL 30 DAYS")).alias("event_time")
+    ).select("event_time", "user_id", F.lit(-1.0).alias("value"))
+    ev.unionByName(sentinels).coalesce(1).write.mode("append").parquet(src)
+    S.run_sessions_to_parquet(
+        spark, src, out, ckpt, gap_seconds=1800.0, watermark_delay="0 seconds"
+    )
+    streamed = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, round(r.sum_value, 4))
+        for r in spark.read.parquet(out).collect()
+        if r.sum_value != -1.0  # sentinel flush sessions
+    }
+
+    # independent batch twin (the events_sessions query shape + start/end)
+    w = Window.partitionBy("user_id").orderBy("event_time")
+    prev = F.lag("event_time").over(w)
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, event_time)")
+    sess = (
+        ev.withColumn("prev_ts", prev)
+        .withColumn(
+            "new_s",
+            F.when(F.col("prev_ts").isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("event_time").alias("session_start"),
+            F.max("event_time").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    batch = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, round(r.sum_value, 4))
+        for r in sess.collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 10  # the comparison is over real, non-trivial data
+
+
 def test_gap_and_timeout_sessionization(spark, tmp_path):
     src = str(tmp_path / "events")
     out = str(tmp_path / "sessions")
