@@ -685,6 +685,19 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_prep_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data prep (quality filter → exact dedup keeping
+    the min-id survivor → sample) as ONE plan; the DuckDB twin re-derives
+    the same survivors by grouping on the normalized text directly. The
+    sampling stage runs at p=1.0 here (the hash-sample operator has its
+    own oracle query, ``sampled_docs_hash``)."""
+    from sonata_neo4j_loader_spark.plans.corpus_prep import prepare_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = prepare_corpus(docs, min_quality=0.5, sample_proportion=1.0)
+    return out.select("doc_id", "quality_score", "token_count")
+
+
 def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(text.lang_id("text")).groupBy("lang_id").agg(
@@ -1086,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_docs_hash": sampled_docs_hash,
         "sampled_docs_exact_k": sampled_docs_exact_k,
         "lang_distribution": lang_distribution,
+        "corpus_prep_survivors": corpus_prep_survivors,
         "dedup_exact_groups": dedup_exact_groups,
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
         "minhash_near_dups": minhash_near_dups,
@@ -1636,6 +1650,20 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": f"""
             SELECT {_LANG_SQL} AS lang_id, count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "corpus_prep_survivors": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     {_QUALITY_SQL} AS quality_score,
+                     {_TOKENS_SQL} AS token_count,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+              FROM documents
+            ), kept AS (
+              SELECT * FROM scored WHERE quality_score >= 0.5
+            )
+            SELECT doc_id, quality_score, token_count
+            FROM kept
+            QUALIFY doc_id = min(doc_id) OVER (PARTITION BY norm)
         """,
         "doc_fingerprints": """
             SELECT doc_id,
