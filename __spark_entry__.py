@@ -1757,7 +1757,8 @@ def oracle_sql() -> dict[str, str]:
               FROM norm
             ), posts AS (
               SELECT doc_id,
-                     ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS h
+                     ('0x' || substr(md5('42:' || unnest(shingles)),
+                                     1, 15))::BIGINT AS h
               FROM shingled
             ), bits AS (
               SELECT doc_id, j,
@@ -1852,11 +1853,12 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             ), cents AS (
               SELECT row_number() OVER (
-                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
-                       AS centroid_id,
+                       ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id)
+                       - 1 AS centroid_id,
                      e AS ce
               FROM (SELECT vec_id, e FROM emb
-                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+                    ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id
+                    LIMIT 16)
             ), assign AS (
               SELECT vec_id, centroid_id FROM (
                 SELECT emb.vec_id, cents.centroid_id,

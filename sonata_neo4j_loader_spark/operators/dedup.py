@@ -276,7 +276,13 @@ def simhash_expr(
     if hash_impl == "xxhash64":
         hash_sql = f"xxhash64(s, {seed})"
     elif hash_impl == "md5":
-        hash_sql = "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)"
+        # seed threads into the hashed string so distinct seeds give
+        # independent families here too; the DuckDB twin is
+        # ('0x'||substr(md5('{seed}:'||s),1,15))::BIGINT
+        hash_sql = (
+            f"cast(conv(substr(md5(concat('{int(seed)}:', s)), 1, 15), 16, 10)"
+            " as bigint)"
+        )
     else:
         raise ValueError(f"unknown hash_impl: {hash_impl}")
     return F.expr(

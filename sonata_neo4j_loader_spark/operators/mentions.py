@@ -184,26 +184,37 @@ def extract_documents(parsed: DataFrame, impl: str = "arrow") -> DataFrame:
         )
     if impl == "native":
         pairs = F.expr(f"regexp_extract_all(doc_text, '{_sql_re(_ENTITY_RE)}', 0)")
-        prop_sql = _sql_re(_PROP_RE)
-        props_expr = F.map_from_entries(
-            F.expr(
-                f"transform(regexp_extract_all(doc_text, '{prop_sql}', 0),"
-                f" h -> struct(regexp_extract(h, '{prop_sql}', 1),"
-                f" cast(regexp_extract(h, '{prop_sql}', 2) as double)))"
+
+        def keep_last_map(entries_sql: str) -> F.Column:
+            # map_from_entries throws DUPLICATED_MAP_KEY on repeated keys
+            # (default spark.sql.mapKeyDedupPolicy=EXCEPTION); the arrow
+            # impl's python dicts silently keep the LAST value. Mirror
+            # that: drop any entry whose key reappears later in the array.
+            deduped = (
+                f"filter({entries_sql}, (e, i) ->"
+                f" NOT exists(slice({entries_sql}, i + 2,"
+                f" size({entries_sql})), x -> x.k = e.k))"
             )
+            return F.map_from_entries(F.expr(deduped))
+
+        prop_sql = _sql_re(_PROP_RE)
+        props_entries = (
+            f"transform(regexp_extract_all(doc_text, '{prop_sql}', 0),"
+            f" h -> struct(regexp_extract(h, '{prop_sql}', 1) as k,"
+            f" cast(regexp_extract(h, '{prop_sql}', 2) as double) as v))"
         )
+        props_expr = keep_last_map(props_entries)
         # Gate props/afferent on the same 'synapse' substring the arrow
         # impl pre-masks with, so the two impls agree on every input —
         # including a 'prop ...' line in a doc with no synapse statement.
         has_syn = F.contains(F.col("doc_text"), F.lit("synapse"))
         attr_sql = _sql_re(_NODE_ATTR_RE)
-        attrs_expr = F.map_from_entries(
-            F.expr(
-                f"transform(regexp_extract_all(doc_text, '{attr_sql}', 0),"
-                f" h -> struct(regexp_extract(h, '{attr_sql}', 1),"
-                f" regexp_extract(h, '{attr_sql}', 2)))"
-            )
+        attrs_entries = (
+            f"transform(regexp_extract_all(doc_text, '{attr_sql}', 0),"
+            f" h -> struct(regexp_extract(h, '{attr_sql}', 1) as k,"
+            f" regexp_extract(h, '{attr_sql}', 2) as v))"
         )
+        attrs_expr = keep_last_map(attrs_entries)
         has_attr = F.contains(F.col("doc_text"), F.lit("layer")) | F.contains(
             F.col("doc_text"), F.lit("region")
         )

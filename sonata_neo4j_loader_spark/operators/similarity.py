@@ -84,18 +84,18 @@ def _md5_plane_components(n_planes: int, dim: int, seed: int) -> list[list[float
     ``(('0x'||substr(md5('plane:{seed}:{p}:{j}'),1,15))::BIGINT % 2000001
     - 1000000) / 1000000.0``.
     """
+    return [_md5_plane_row(p, dim, seed) for p in range(n_planes)]
+
+
+def _md5_plane_row(plane: int, dim: int, seed: int) -> list[float]:
+    """Components of ONE md5-derived plane (see _md5_plane_components)."""
     import hashlib as _hl
 
-    comps = []
-    for p in range(n_planes):
-        row = []
-        for j in range(dim):
-            h = int(
-                _hl.md5(f"plane:{seed}:{p}:{j}".encode()).hexdigest()[:15], 16
-            )
-            row.append((h % 2000001 - 1000000) / 1000000.0)
-        comps.append(row)
-    return comps
+    row = []
+    for j in range(dim):
+        h = int(_hl.md5(f"plane:{seed}:{plane}:{j}".encode()).hexdigest()[:15], 16)
+        row.append((h % 2000001 - 1000000) / 1000000.0)
+    return row
 
 
 def _plane_bit(
@@ -109,9 +109,7 @@ def _plane_bit(
     buckets exactly; the default xxhash64 derives them inline JVM-side.
     """
     if hash_impl == "md5":
-        comps = F.array(
-            *[F.lit(c) for c in _md5_plane_components(plane + 1, dim, seed)[plane]]
-        )
+        comps = F.array(*[F.lit(c) for c in _md5_plane_row(plane, dim, seed)])
     else:
         comps = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -261,10 +259,11 @@ def ivf_centroids(
     that mints ``centroid_id`` runs *after* the limit, over exactly
     ``n_centroids`` rows.
 
-    ``hash_impl='md5'`` ranks by ``md5(cast(id as string))`` — the
-    DuckDB-reproducible twin (``ORDER BY md5(CAST(id AS VARCHAR))``)."""
+    ``hash_impl='md5'`` ranks by ``md5('{seed}:' || cast(id as string))`` —
+    the DuckDB-reproducible twin (``ORDER BY md5('{seed}:' || CAST(id AS
+    VARCHAR))``); the seed stays meaningful in both hash families."""
     if hash_impl == "md5":
-        rank = F.md5(F.col(id_col).cast("string"))
+        rank = F.md5(F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string")))
     else:
         rank = F.xxhash64(F.col(id_col), F.lit(seed))
     picked = (

@@ -108,32 +108,50 @@ def make_sessionizer(gap_seconds: float):
         vals = ev["value"].to_numpy(dtype="float64")
 
         closed: list[tuple[int, int, int, float]] = []
+        state_last = None
         if state.exists:
             start_ns, last_ns, n, total = state.get
             if ts[0] - last_ns > gap_ns:
                 closed.append((start_ns, last_ns, n, total))
                 start_ns, last_ns, n, total = ts[0], ts[0], 0, 0.0
-            # else: batch continues (or, for tolerated-late rows, merges
-            # into) the open session — start moves back if a late row
-            # predates it
+            else:
+                # batch continues (or, for tolerated-late rows, merges
+                # into) the open session — start moves back if a late row
+                # predates it, and the state's last event keeps counting
+                # for gap/end math even when the late row sorts before it
+                state_last = last_ns
             start_ns = min(start_ns, int(ts[0]))
         else:
             start_ns, last_ns, n, total = int(ts[0]), int(ts[0]), 0, 0.0
 
-        # vectorized gap split within the batch: boundaries where the gap
-        # exceeds the threshold; per-segment counts/sums via reduceat
-        bounds = np.flatnonzero(np.diff(ts) > gap_ns) + 1
+        # vectorized gap split: the session's "last seen" at step i is
+        # max(prev batch event, state's last event) — a late row below the
+        # open session's last must not shrink the effective gap anchor.
+        # After any split the state anchor is dominated by construction
+        # (a split requires ts[i] > state_last + gap), so one maximum is
+        # safe for the whole batch.
+        prev_eff = ts[:-1]
+        if state_last is not None:
+            prev_eff = np.maximum(prev_eff, state_last)
+        bounds = np.flatnonzero(ts[1:] - prev_eff > gap_ns) + 1
         seg_starts = np.concatenate(([0], bounds))
         seg_counts = np.diff(np.concatenate((seg_starts, [len(ts)])))
         seg_sums = np.add.reduceat(vals, seg_starts)
         seg_first = ts[seg_starts]
         seg_last = ts[np.concatenate((seg_starts[1:], [len(ts)])) - 1]
 
+        def merged_last(i: int) -> int:
+            # segment 0 may merge with the open state whose last event can
+            # exceed every batch row in it
+            if i == 0 and state_last is not None:
+                return max(int(seg_last[0]), state_last)
+            return int(seg_last[i])
+
         # every segment except the last is closed by the gap that follows it
         for i in range(len(seg_starts) - 1):
             if i == 0:
                 closed.append(
-                    (start_ns, int(seg_last[0]), n + int(seg_counts[0]), total + float(seg_sums[0]))
+                    (start_ns, merged_last(0), n + int(seg_counts[0]), total + float(seg_sums[0]))
                 )
             else:
                 closed.append(
@@ -143,7 +161,7 @@ def make_sessionizer(gap_seconds: float):
         if li == 0:
             open_state = (
                 start_ns,
-                int(seg_last[li]),
+                merged_last(0),
                 n + int(seg_counts[li]),
                 total + float(seg_sums[li]),
             )

@@ -39,6 +39,15 @@ def adversarial_docs(spark):
         _doc("layer-word", "the layered cortex has regions"),
         # region only (mask is layer OR region)
         _doc("region-only", "region R09"),
+        # duplicate map keys: both impls must keep the LAST value, and the
+        # native impl must not crash with DUPLICATED_MAP_KEY
+        _doc("dup-attrs", "neuron NodeA#0", "layer L5", "layer L6", "region R01"),
+        _doc(
+            "dup-props",
+            "synapse NodeA#0 -> NodeB#1",
+            "prop delay 1.000000",
+            "prop delay 2.000000",
+        ),
         # empty-ish noise
         _doc("noise", "nothing interesting here"),
     ]
@@ -80,3 +89,14 @@ def test_node_attrs_extraction(adversarial_docs):
         assert rows["layer-word"] is None, impl
         assert rows["region-only"] == {"region": "R09"}, impl
         assert rows["noise"] is None, impl
+        assert rows["dup-attrs"] == {"layer": "L6", "region": "R01"}, impl
+
+
+def test_duplicate_prop_keys_keep_last(adversarial_docs):
+    for impl in ("arrow", "native"):
+        row = (
+            mentions.extract_documents(adversarial_docs, impl=impl)
+            .where("doc_id = 'dup-props'")
+            .collect()[0]
+        )
+        assert row["synapse"]["props"] == {"delay": 2.0}, impl

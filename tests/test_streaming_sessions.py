@@ -101,6 +101,28 @@ def test_stream_matches_batch_sessionization(spark, tmp_path):
     assert len(batch) > 10  # the comparison is over real, non-trivial data
 
 
+def test_late_event_merges_without_shrinking_session(spark, tmp_path):
+    """A tolerated-late event that sorts BEFORE the open session's last
+    event must merge without regressing the session's end or its gap
+    anchor: the split decision and session_end use max(state.last, batch
+    rows), exactly as the batch twin's full ordering would."""
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: open session (00:00, 00:05), n=2
+    _write(spark, src, [(ts(0), 7, 1.0), (ts(5), 7, 2.0)])
+    assert _drain(spark, src, out, ckpt) == []
+
+    # batch 2: late row 00:02 (above watermark) + 00:35. Full ordering is
+    # 00:00,00:02,00:05,00:35 -> session1 = [00:00..00:05] n=3 (00:35 is
+    # 30 min after 00:05 > 10 min gap), session2 = open at 00:35. A naive
+    # batch-only diff would close session1 at 00:02 and lose the 00:05 end.
+    _write(spark, src, [(ts(2), 7, 4.0), (ts(35), 7, 8.0)])
+    got = _drain(spark, src, out, ckpt)
+    assert got == [(7, ts(0), ts(5), 3, 7.0)]
+
+
 def test_gap_and_timeout_sessionization(spark, tmp_path):
     src = str(tmp_path / "events")
     out = str(tmp_path / "sessions")
