@@ -1020,6 +1020,53 @@ def spiked_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.edges_between_spiked_neurons(edges, spikes)
 
 
+def events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (a built-in Spark lacks): for every purchase
+    event, the most recent signup of the same user at-or-before it —
+    union+window composition, one shuffle, no range blow-up. Oracle:
+    DuckDB's native ASOF LEFT JOIN."""
+    from sonata_neo4j_loader_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts"), F.col("event_id").alias("signup_event")
+    )
+    out = temporal.asof_join(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="signup_ts",
+        right_payload=["signup_event"],
+    )
+    return out.select("event_id", "user_id", "ts", "asof_ts", "signup_event")
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (no cartesian/BNLJ plan): click events counted
+    into the 1-hour window after each signup, hour-bins as the equi key +
+    exact post filter. Oracle: plain inequality join."""
+    from sonata_neo4j_loader_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", F.col("ts").alias("ev_ts")
+    )
+    windows = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+    )
+    joined = temporal.range_join_binned(
+        clicks, windows, fact_ts="ev_ts",
+        start_col="win_start", end_col="win_end", bin_seconds=3600,
+    )
+    return joined.groupBy("signup_event").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
 def kg_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _kg_outputs(spark)
     return out["invariant_violations"].select("doc_id")
@@ -1123,6 +1170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rich_aggregated_mtype": kg_rich_aggregated_mtype,
         "spike_has_spike_triples": spike_has_spike_triples,
         "spiked_edges": spiked_edges,
+        "events_asof_signup": events_asof_signup,
+        "events_range_join": events_range_join,
         "spike_rate_by_neuron": spike_rate_by_neuron,
     }
 
@@ -1938,6 +1987,26 @@ def oracle_sql() -> dict[str, str]:
         "kg_population_properties": _kg_pop_props_oracle(),
         "kg_population_size": _kg_popsize_oracle(),
         "kg_rich_aggregated_mtype": _kg_rich_agg_oracle(),
+        "events_asof_signup": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   s.signup_ts AS asof_ts, s.signup_event
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts AS signup_ts,
+                                   event_id AS signup_event FROM events
+                            WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        """,
+        "events_range_join": """
+            SELECT w.signup_event, count(*) AS n_clicks
+            FROM (SELECT event_id AS signup_event, ts AS win_start,
+                         ts + INTERVAL 1 HOUR AS win_end
+                  FROM events WHERE event_type = 'signup') w
+            JOIN (SELECT ts AS ev_ts FROM events
+                  WHERE event_type = 'click') c
+              ON c.ev_ts >= w.win_start AND c.ev_ts < w.win_end
+            GROUP BY 1
+        """,
         "spiked_edges": """
             WITH spikers AS (
               SELECT DISTINCT user_id AS neuron_id FROM events

@@ -1,0 +1,130 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Both are implemented as compositions of existing DataFrame operators with
+scale-correct shapes (per the engine rule: composition first, Pandas UDF
+only when semantics demand it — here they don't):
+
+* :func:`asof_join` — "most recent right row at or before each left row"
+  via the union+window trick: tag both sides, union, one window per key
+  ordered by (ts, side), carry the last-seen right payload forward with
+  ``last(..., ignorenulls=True)``, keep left rows. ONE shuffle (the
+  window), no range blow-up, no per-key driver loop — the shape that
+  survives 10^12 rows. (A sort-merge interval join would also work; this
+  form reuses the existing shuffle machinery and AQE.)
+* :func:`range_join_binned` — facts joined to intervals they fall in.
+  A naive ``t BETWEEN start AND end`` join plans BroadcastNestedLoop /
+  cartesian; binning makes it an equi join: intervals explode to the
+  fixed-width bins they overlap, facts map to exactly one bin, the join
+  runs on the bin key, and an exact post-filter removes bin-edge false
+  positives. Each (fact, interval) pair meets in exactly one bin (the
+  fact's), so no dedup pass is needed.
+
+DuckDB twins: native ``ASOF JOIN`` for the former, a plain inequality
+join for the latter — both exact, see ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` for the same key (backward as-of join,
+    inclusive on ties). Right payload columns come back null when no
+    right row precedes the left row (or none within ``tolerance_seconds``).
+
+    Output: all left columns + ``asof_ts`` + the right payload columns.
+    """
+    lhs = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rhs = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c) for c in right_payload],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    for c in lhs.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(lhs.schema[c].dataType))
+    for c in rhs.columns:
+        if c not in lhs.columns:
+            lhs = lhs.withColumn(c, F.lit(None).cast(rhs.schema[c].dataType))
+    unioned = lhs.unionByName(rhs.select(*lhs.columns))
+
+    # right rows sort before left rows at equal timestamps (_side 0 < 1),
+    # so a tie is visible to the left row — inclusive semantics
+    w = Window.partitionBy(key).orderBy("_ts", "_side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = unioned.withColumn(
+        "asof_ts",
+        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True).over(w),
+    )
+    for c in right_payload:
+        carried = carried.withColumn(
+            c, F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w)
+        )
+    out = carried.where(F.col("_side") == 1).drop("_side", "_ts")
+    if tolerance_seconds is not None:
+        within = (
+            F.col("asof_ts").isNotNull()
+            & (
+                F.expr(f"timestampdiff(MICROSECOND, asof_ts, {left_ts})")
+                <= int(tolerance_seconds * 1_000_000)
+            )
+        )
+        out = out.withColumn("asof_ts", F.when(within, F.col("asof_ts")))
+        for c in right_payload:
+            out = out.withColumn(c, F.when(within, F.col(c)))
+    return out
+
+
+def range_join_binned(
+    facts: DataFrame,
+    intervals: DataFrame,
+    fact_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Inner-join facts to the intervals containing them
+    (``start <= t < end``) without a cartesian/BNLJ plan.
+
+    ``bin_seconds`` trades interval fan-out (long intervals explode into
+    more bins) against bin-join selectivity; set it near the typical
+    interval length. Output: fact columns + interval columns.
+    """
+    f_bin = F.floor(F.col(fact_ts).cast("timestamp_ltz").cast("long") / bin_seconds)
+    s_long = F.col(start_col).cast("timestamp_ltz").cast("long")
+    e_long = F.col(end_col).cast("timestamp_ltz").cast("long")
+    binned_intervals = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(s_long / bin_seconds),
+                # inclusive end bin: second-truncation of a sub-second
+                # timestamp near `end` may round a fact into the end's
+                # bin, and the exact post-filter discards the surplus
+                F.floor(e_long / bin_seconds),
+            )
+        ),
+    )
+    binned_facts = facts.withColumn("_bin", f_bin)
+    return (
+        binned_facts.join(binned_intervals, "_bin")
+        .where(
+            (F.col(fact_ts) >= F.col(start_col)) & (F.col(fact_ts) < F.col(end_col))
+        )
+        .drop("_bin")
+    )

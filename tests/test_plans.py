@@ -155,6 +155,26 @@ def test_extraction_stage_is_one_arrow_pass(spark):
     assert plan.count("ArrowEvalPython") == 1
 
 
+def test_temporal_joins_have_no_cartesian(spark):
+    # as-of (union+window) and binned range join must both avoid
+    # BroadcastNestedLoop/cartesian — that is their entire reason to exist
+    import __spark_entry__ as entry
+
+    for q in (entry.events_asof_signup, entry.events_range_join):
+        plan = _plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_asof_join_single_shuffle(spark):
+    # the union+window as-of shape costs exactly one exchange (the window
+    # partitioning); a second one would mean the union re-shuffled
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.events_asof_signup(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_distinct_agg_two_phase(spark):
     # q16: COUNT(DISTINCT) plans as partial dedupe + final count (two
     # HashAggregate pairs; AQE pre-final plan string omits codegen markers)
