@@ -300,6 +300,51 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` — same linear-interpolation formula, verified to
+    agree bit-for-bit after 6-decimal rounding)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts fanned into one column per type
+    (explicit value list so the plan is a single pass, no distinct-scan)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user decile) with grouping_id — all four
+    aggregation granularities in one Expand pass."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_decile", (F.col("user_id") % 10).cast("int")
+    )
+    return ev.cube("event_type", "user_decile").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+def users_click_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: users who both clicked and errored."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    errors = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    return clicks.intersect(errors)
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS semi-join with a non-equi conjunct (l_shipdate > o_orderdate):
     Catalyst plans the equi part as the join key and the inequality as a
@@ -1171,6 +1216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spike_has_spike_triples": spike_has_spike_triples,
         "spiked_edges": spiked_edges,
         "events_asof_signup": events_asof_signup,
+        "events_percentiles": events_percentiles,
+        "events_pivot": events_pivot,
+        "events_cube": events_cube,
+        "users_click_and_error": users_click_and_error,
         "events_range_join": events_range_join,
         "spike_rate_by_neuron": spike_rate_by_neuron,
     }
@@ -1987,6 +2036,33 @@ def oracle_sql() -> dict[str, str]:
         "kg_population_properties": _kg_pop_props_oracle(),
         "kg_population_size": _kg_popsize_oracle(),
         "kg_rich_aggregated_mtype": _kg_rich_agg_oracle(),
+        "events_percentiles": """
+            SELECT event_type, count(*) AS n_events,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90
+            FROM events GROUP BY 1
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+            FROM events GROUP BY 1
+        """,
+        "events_cube": """
+            SELECT event_type, CAST(user_id % 10 AS INT) AS user_decile,
+                   count(*) AS n_events,
+                   CAST(GROUPING(event_type, user_id % 10) AS BIGINT) AS gid
+            FROM events
+            GROUP BY CUBE (event_type, user_id % 10)
+        """,
+        "users_click_and_error": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        """,
         "events_asof_signup": """
             SELECT p.event_id, p.user_id, p.ts,
                    s.signup_ts AS asof_ts, s.signup_event
