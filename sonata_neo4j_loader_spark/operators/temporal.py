@@ -44,6 +44,13 @@ def asof_join(
     right row precedes the left row (or none within ``tolerance_seconds``).
 
     Output: all left columns + ``asof_ts`` + the right payload columns.
+
+    Skew note: the window partitions by ``key`` alone, so one pathological
+    key's full history lands on a single reducer. At that point switch to
+    the two-phase variant (bucket by (key, coarse time range), carry each
+    bucket's last right row into the next bucket as a seed row) — the
+    standard telemetry-scale refinement; not needed while per-key history
+    fits a partition (AQE skew-split cannot help a window, unlike a join).
     """
     lhs = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
     rhs = (

@@ -101,6 +101,37 @@ def test_node_properties_payload(outputs):
     assert node_rows["pop:NodeA"]["properties"]["size"] == "3"
 
 
+def test_node_properties_on_synthetic_corpus(spark):
+    """The properties path must also work on the distributed generator
+    (the 10^12-doc shape), not just the fixture: every synthetic neuron
+    node carries the full attribute map with the hash-derived values the
+    generator grammar promises."""
+    from pyspark.sql import functions as F
+
+    docs = dg.synthetic_documents(
+        spark, n_node_docs=200, n_edge_docs=50, n_noise_docs=20,
+        n_populations=2, neurons_per_pop=50,
+    )
+    out = pipeline.build_triples(
+        spark,
+        docs,
+        dg.synthetic_entities(spark, n_populations=2, neurons_per_pop=50),
+        dg.synthetic_alias_edges(spark, n_populations=2, neurons_per_pop=50),
+    )
+    rows = out["node_properties"].where(
+        F.col("entity_id").startswith("neuron:")
+    ).collect()
+    assert len(rows) == 100  # 2 pops x 50 neurons, aliases folded
+    for r in rows:
+        p = r["properties"]
+        assert set(p) == {
+            "layer", "region", "morphology", "mtype", "etype",
+            "synapse_class", "population_name",
+        }, r["entity_id"]
+        assert p["layer"].startswith("L") and p["region"].startswith("R")
+        assert p["population_name"] == r["entity_id"].split(":")[1]
+
+
 def test_aggregated_synapse_mtype(outputs):
     golden = fixture.golden_aggregates("mtype")
     agg = next(
