@@ -1076,8 +1076,12 @@ def events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    signups = ev.where(F.col("event_type") == "signup").select(
-        "user_id", F.col("ts").alias("signup_ts"), F.col("event_id").alias("signup_event")
+    # deterministic tie reduce: were two signups to share (user, ts), both
+    # engines would otherwise pick an arbitrary one — keep max(event_id)
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("ts").alias("signup_ts"))
+        .agg(F.max("event_id").alias("signup_event"))
     )
     out = temporal.asof_join(
         purchases,
@@ -2069,8 +2073,9 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, ts, value FROM events
                   WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT user_id, ts AS signup_ts,
-                                   event_id AS signup_event FROM events
-                            WHERE event_type = 'signup') s
+                                   max(event_id) AS signup_event FROM events
+                            WHERE event_type = 'signup'
+                            GROUP BY 1, 2) s
               ON p.user_id = s.user_id AND p.ts >= s.signup_ts
         """,
         "events_range_join": """

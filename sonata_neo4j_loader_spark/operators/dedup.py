@@ -267,11 +267,12 @@ def simhash_expr(
     a 64-long accumulator — no explode, no shuffle.
 
     ``hash_impl``: ``'xxhash64'`` (default, fastest, JVM-only) or
-    ``'md5'`` — a 60-bit hash from the first 15 hex chars of md5, which
-    DuckDB reproduces exactly (``('0x'||substr(md5(s),1,15))::BIGINT``),
-    making the whole simhash value cross-engine-verifiable. Bits 60-63
-    of the md5 variant are always 0 (votes stay negative), so chunk
-    banding and Hamming math are unaffected.
+    ``'md5'`` — a 60-bit hash from the first 15 hex chars of the
+    seed-prefixed md5, which DuckDB reproduces exactly
+    (``('0x'||substr(md5('{seed}:'||s),1,15))::BIGINT``), making the
+    whole simhash value cross-engine-verifiable. Bits 60-63 of the md5
+    variant are always 0 (votes stay negative), so chunk banding and
+    Hamming math are unaffected.
     """
     if hash_impl == "xxhash64":
         hash_sql = f"xxhash64(s, {seed})"

@@ -183,42 +183,55 @@ def extract_documents(parsed: DataFrame, impl: str = "arrow") -> DataFrame:
             _extract_node_attrs("doc_text").alias("node_attrs"),
         )
     if impl == "native":
+        # TWO projections: the entry arrays materialize as named columns
+        # first, and the dedup lambdas in the second projection reference
+        # those attributes. Inlining the extraction into the filter
+        # lambdas would make codegen re-run the full regexp per array
+        # element (loop-invariant subexpressions are NOT hoisted out of
+        # higher-order-function lambdas — same trap as shingle_expr,
+        # operators/text.py).
         pairs = F.expr(f"regexp_extract_all(doc_text, '{_sql_re(_ENTITY_RE)}', 0)")
+        prop_sql = _sql_re(_PROP_RE)
+        attr_sql = _sql_re(_NODE_ATTR_RE)
+        extracted = parsed.select(
+            "doc_id",
+            "media_refs",
+            "doc_text",
+            F.expr(
+                f"transform(regexp_extract_all(doc_text, '{prop_sql}', 0),"
+                f" h -> struct(regexp_extract(h, '{prop_sql}', 1) as k,"
+                f" cast(regexp_extract(h, '{prop_sql}', 2) as double) as v))"
+            ).alias("_prop_entries"),
+            F.expr(
+                f"transform(regexp_extract_all(doc_text, '{attr_sql}', 0),"
+                f" h -> struct(regexp_extract(h, '{attr_sql}', 1) as k,"
+                f" regexp_extract(h, '{attr_sql}', 2) as v))"
+            ).alias("_attr_entries"),
+        )
 
-        def keep_last_map(entries_sql: str) -> F.Column:
+        def keep_last_map(entries_col: str) -> F.Column:
             # map_from_entries throws DUPLICATED_MAP_KEY on repeated keys
             # (default spark.sql.mapKeyDedupPolicy=EXCEPTION); the arrow
             # impl's python dicts silently keep the LAST value. Mirror
             # that: drop any entry whose key reappears later in the array.
-            deduped = (
-                f"filter({entries_sql}, (e, i) ->"
-                f" NOT exists(slice({entries_sql}, i + 2,"
-                f" size({entries_sql})), x -> x.k = e.k))"
+            return F.map_from_entries(
+                F.expr(
+                    f"filter({entries_col}, (e, i) ->"
+                    f" NOT exists(slice({entries_col}, i + 2,"
+                    f" size({entries_col})), x -> x.k = e.k))"
+                )
             )
-            return F.map_from_entries(F.expr(deduped))
 
-        prop_sql = _sql_re(_PROP_RE)
-        props_entries = (
-            f"transform(regexp_extract_all(doc_text, '{prop_sql}', 0),"
-            f" h -> struct(regexp_extract(h, '{prop_sql}', 1) as k,"
-            f" cast(regexp_extract(h, '{prop_sql}', 2) as double) as v))"
-        )
-        props_expr = keep_last_map(props_entries)
+        props_expr = keep_last_map("_prop_entries")
+        attrs_expr = keep_last_map("_attr_entries")
         # Gate props/afferent on the same 'synapse' substring the arrow
         # impl pre-masks with, so the two impls agree on every input —
         # including a 'prop ...' line in a doc with no synapse statement.
         has_syn = F.contains(F.col("doc_text"), F.lit("synapse"))
-        attr_sql = _sql_re(_NODE_ATTR_RE)
-        attrs_entries = (
-            f"transform(regexp_extract_all(doc_text, '{attr_sql}', 0),"
-            f" h -> struct(regexp_extract(h, '{attr_sql}', 1) as k,"
-            f" regexp_extract(h, '{attr_sql}', 2) as v))"
-        )
-        attrs_expr = keep_last_map(attrs_entries)
         has_attr = F.contains(F.col("doc_text"), F.lit("layer")) | F.contains(
             F.col("doc_text"), F.lit("region")
         )
-        return parsed.select(
+        return extracted.select(
             "doc_id",
             "media_refs",
             F.transform(

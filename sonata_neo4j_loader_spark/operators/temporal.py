@@ -52,6 +52,14 @@ def asof_join(
     standard telemetry-scale refinement; not needed while per-key history
     fits a partition (AQE skew-split cannot help a window, unlike a join).
     """
+    collisions = (set(right_payload) | {"asof_ts"}) & set(left.columns)
+    internals = {"_side", "_ts", "_asof"} & (set(left.columns) | set(right.columns))
+    if collisions or internals:
+        raise ValueError(
+            f"asof_join column collisions: payload/asof_ts vs left "
+            f"{sorted(collisions)}, reserved internals {sorted(internals)}"
+            " — alias the offending columns first"
+        )
     lhs = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
     rhs = (
         right.select(
@@ -70,19 +78,26 @@ def asof_join(
     unioned = lhs.unionByName(rhs.select(*lhs.columns))
 
     # right rows sort before left rows at equal timestamps (_side 0 < 1),
-    # so a tie is visible to the left row — inclusive semantics
+    # so a tie is visible to the left row — inclusive semantics. The
+    # timestamp AND payload travel as ONE struct through a single
+    # last(ignorenulls): per-column carries would mix fields from
+    # different right rows whenever a payload value is null, and a
+    # null-timestamp right row must contribute nothing at all.
     w = Window.partitionBy(key).orderBy("_ts", "_side").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    carried = unioned.withColumn(
-        "asof_ts",
-        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True).over(w),
+    right_row = F.when(
+        (F.col("_side") == 0) & F.col("_ts").isNotNull(),
+        F.struct(F.col("_ts").alias("asof_ts"), *[F.col(c) for c in right_payload]),
+    )
+    carried = unioned.withColumn("_asof", F.last(right_row, ignorenulls=True).over(w))
+    out = (
+        carried.where(F.col("_side") == 1)
+        .withColumn("asof_ts", F.col("_asof.asof_ts"))
     )
     for c in right_payload:
-        carried = carried.withColumn(
-            c, F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w)
-        )
-    out = carried.where(F.col("_side") == 1).drop("_side", "_ts")
+        out = out.withColumn(c, F.col(f"_asof.{c}"))
+    out = out.drop("_side", "_ts", "_asof")
     if tolerance_seconds is not None:
         within = (
             F.col("asof_ts").isNotNull()

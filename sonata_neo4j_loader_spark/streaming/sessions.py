@@ -183,13 +183,39 @@ def make_sessionizer(gap_seconds: float):
     return fn
 
 
+_DELAY_UNITS = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1.0,
+    "minute": 60.0, "hour": 3600.0, "day": 86400.0, "week": 604800.0,
+}
+
+
+def _delay_seconds(delay: str) -> float:
+    n, unit = delay.strip().split()
+    return float(n) * _DELAY_UNITS[unit.rstrip("s").lower()]
+
+
 def sessionize_stream(
     spark: SparkSession,
     input_dir: str,
     gap_seconds: float = 1800.0,
     watermark_delay: str = "10 minutes",
 ) -> DataFrame:
-    """readStream over an event directory -> closed-session stream."""
+    """readStream over an event directory -> closed-session stream.
+
+    Requires ``watermark_delay <= gap_seconds``. Under that bound the
+    stream provably equals the batch gap-sessionization: a tolerated-late
+    row r satisfies r >= max_seen - delay >= last - gap, so it can never
+    be more than one gap below any event it must order against — every
+    merge the kernel makes is one the full batch ordering makes too. With
+    delay > gap, a late row older than the open session's span minus the
+    gap would merge here but split in batch, silently diverging.
+    """
+    if _delay_seconds(watermark_delay) > gap_seconds:
+        raise ValueError(
+            f"watermark_delay ({watermark_delay}) must not exceed "
+            f"gap_seconds ({gap_seconds}): stream==batch session equality "
+            "only holds when late data is bounded by the session gap"
+        )
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
     return (
         stream.withWatermark("event_time", watermark_delay)

@@ -167,11 +167,20 @@ def test_temporal_joins_have_no_cartesian(spark):
 
 
 def test_asof_join_single_shuffle(spark):
-    # the union+window as-of shape costs exactly one exchange (the window
-    # partitioning); a second one would mean the union re-shuffled
-    import __spark_entry__ as entry
+    # the union+window as-of shape itself costs exactly one exchange (the
+    # window partitioning); a second one would mean the union re-shuffled.
+    # (The contract query adds one more for its deterministic tie-reduce
+    # groupBy — that one is the caller's, not the operator's.)
+    from sonata_neo4j_loader_spark.operators import temporal
 
-    plan = _plan(entry.events_asof_signup(spark, SF_DIR))
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("rts"), F.col("event_id").alias("sid")
+    )
+    plan = _plan(temporal.asof_join(left, right, "user_id", "ts", "rts", ["sid"]))
     assert plan.count("Exchange hashpartitioning") == 1
 
 

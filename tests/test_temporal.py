@@ -54,6 +54,17 @@ def test_asof_tolerance(spark):
     assert out[4] == (None, None)
 
 
+def test_asof_rejects_colliding_payload(spark):
+    import pytest
+
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="collision"):
+        temporal.asof_join(
+            left, right.withColumnRenamed("tag", "event_id"),
+            "user_id", "ts", "rts", ["event_id"],
+        )
+
+
 def test_range_join_boundaries(spark):
     facts = spark.createDataFrame(
         [(1, ts(0)), (2, ts(59, 59)), (3, ts(0, 1))],
