@@ -130,6 +130,11 @@ def edges_between_spiked_neurons(
 
     The reference materializes the spiker set on the driver (a Python
     ``set``) — here it is two semi-joins, broadcast when dimension-sized.
+
+    Note: when ``edges`` carries columns beyond the endpoint pair, the
+    surviving row per pair is arbitrary (as in the reference, where pandas
+    ``drop_duplicates`` keeps whichever row the file order put first);
+    project to the endpoint pair before calling for deterministic output.
     """
     from ..operators.sampling import restrict_edges_to_neurons
 

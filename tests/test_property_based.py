@@ -5,7 +5,10 @@ pure-Python oracles.
   from-scratch union-find on random graphs — shapes no hand-picked fixture
   covers (SURVEY.md §5: the golden layer the reference lacks);
 * the per-row span-sequence invariant through explode -> shuffle ->
-  reassemble on randomly ordered span arrays.
+  reassemble on randomly ordered span arrays;
+* the as-of join and binned range join against brute-force python
+  re-derivations on random timestamp layouts (ties, duplicates, empty
+  sides, sub-gap clusters).
 
 Few examples, real Spark jobs each — keep max_examples small.
 """
@@ -106,3 +109,106 @@ def test_span_invariant_through_reassembly(spark, docs, data):
     exploded = documents.selectExpr("doc_id", "inline(spans)")
     rebuilt = parse.reassemble_spans(exploded)
     assert parse.audit_span_invariant(documents, rebuilt).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# temporal joins vs brute force
+# ---------------------------------------------------------------------------
+
+_EPOCH = 1_700_000_000  # any fixed base; values are second offsets from it
+
+lefts = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000)),  # (key, ts_sec)
+    min_size=1,
+    max_size=15,
+)
+rights = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)),
+    min_size=0,
+    max_size=15,
+)
+
+
+def _to_ts(sec: int):
+    from datetime import datetime, timedelta
+
+    return datetime(2024, 1, 1) + timedelta(seconds=sec)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lefts=lefts, rights=rights)
+def test_asof_join_matches_brute_force(spark, lefts, rights):
+    from sonata_neo4j_loader_spark.operators import temporal
+
+    # dedupe right on (key, ts) keeping max payload — the documented
+    # deterministic-tie discipline (mirrors the contract query)
+    best: dict[tuple[int, int], int] = {}
+    for k, t, p in rights:
+        best[(k, t)] = max(best.get((k, t), -1), p)
+    rrows = [(k, _to_ts(t), p) for (k, t), p in best.items()]
+
+    left_df = spark.createDataFrame(
+        [(i, k, _to_ts(t)) for i, (k, t) in enumerate(lefts)],
+        "lid long, k long, ts timestamp",
+    )
+    right_df = spark.createDataFrame(
+        rrows or [(0, _to_ts(0), 0)], "k long, rts timestamp, payload long"
+    )
+    if not rrows:
+        right_df = right_df.where("k < 0")  # genuinely empty right side
+
+    got = {
+        r.lid: (r.asof_ts, r.payload)
+        for r in temporal.asof_join(
+            left_df, right_df, "k", "ts", "rts", ["payload"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, p) for (rk, rt), p in best.items() if rk == k and rt <= t]
+        want = max(cands) if cands else None
+        if want is None:
+            assert got[i] == (None, None), i
+        else:
+            assert got[i] == (_to_ts(want[0]), want[1]), i
+
+
+intervals = st.lists(
+    st.tuples(st.integers(0, 1000), st.integers(1, 500)),  # (start, length)
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(facts=st.lists(st.integers(0, 1600), min_size=1, max_size=20), ivs=intervals)
+def test_range_join_matches_brute_force(spark, facts, ivs):
+    from sonata_neo4j_loader_spark.operators import temporal
+
+    facts_df = spark.createDataFrame(
+        [(i, _to_ts(t)) for i, t in enumerate(facts)], "fid long, t timestamp"
+    )
+    iv_df = spark.createDataFrame(
+        [(j, _to_ts(s), _to_ts(s + n)) for j, (s, n) in enumerate(ivs)],
+        "ivid long, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r.fid, r.ivid)
+        for r in temporal.range_join_binned(
+            facts_df, iv_df, "t", "s", "e", bin_seconds=97  # awkward width
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, t in enumerate(facts)
+        for j, (s, n) in enumerate(ivs)
+        if s <= t < s + n
+    )
+    assert got == want
