@@ -112,6 +112,127 @@ def asof_join(
     return out
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    bucket_seconds: int = 24 * 3600,
+) -> DataFrame:
+    """Skew-proof two-phase as-of join: identical semantics to
+    :func:`asof_join`, but every window partitions on (key, time bucket),
+    so one pathological key's history spreads across buckets instead of
+    landing on a single reducer.
+
+    Phase 1 (seed derivation): the last right row per (key, bucket) —
+    a bounded per-bucket window — then, over the per-key *bucket summary*
+    (one row per non-empty bucket, tiny relative to the data), the most
+    recent summary strictly before each left bucket becomes that bucket's
+    seed. Phase 2: the plain union+window carry runs per (key, bucket)
+    with the seed injected as an extra right row, so a bucket whose
+    right-side history lives entirely in the past still resolves.
+
+    Right rows with a null timestamp contribute nothing (as in
+    :func:`asof_join`). Ties on (key, ts) between right rows resolve by
+    the largest payload struct (deterministic; pre-reduce if you need a
+    different discipline).
+    """
+    collisions = (set(right_payload) | {"asof_ts"}) & set(left.columns)
+    internals = {"_side", "_ts", "_asof", "_b", "_mark", "_seed"} & (
+        set(left.columns) | set(right.columns)
+    )
+    if collisions or internals:
+        raise ValueError(
+            f"asof_join_bucketed column collisions: payload/asof_ts vs left "
+            f"{sorted(collisions)}, reserved internals {sorted(internals)}"
+            " — alias the offending columns first"
+        )
+
+    def bucket_of(ts_col: str) -> Column:
+        return F.floor(
+            F.col(ts_col).cast("timestamp_ltz").cast("long") / bucket_seconds
+        )
+
+    payload_struct = F.struct(
+        F.col("_ts").alias("asof_ts"), *[F.col(c) for c in right_payload]
+    )
+    rb = (
+        right.where(F.col(right_ts).isNotNull())
+        .withColumn("_ts", F.col(right_ts))
+        .withColumn("_b", bucket_of(right_ts))
+    )
+    # phase 1a: last right row per (key, bucket) — window bounded by bucket
+    wb = Window.partitionBy(key, "_b").orderBy(F.desc("_ts"), F.desc(payload_struct))
+    bucket_last = (
+        rb.withColumn("_rn", F.row_number().over(wb))
+        .where(F.col("_rn") == 1)
+        .select(key, "_b", payload_struct.alias("_seed"))
+    )
+    # phase 1b: seed per left bucket = most recent bucket_last with _b' < b.
+    # Runs over the per-key bucket summary (1 row per non-empty bucket +
+    # 1 per left bucket) — small by construction.
+    left_buckets = (
+        left.select(F.col(key), bucket_of(left_ts).alias("_b"))
+        .distinct()
+        .withColumn("_mark", F.lit(0))
+        .withColumn("_seed", F.lit(None).cast(bucket_last.schema["_seed"].dataType))
+    )
+    summary = bucket_last.withColumn("_mark", F.lit(1)).unionByName(left_buckets)
+    # a target-bucket row (_mark 0) sorts BEFORE its own bucket's summary
+    # row (_mark 1), so the strictly-preceding lookback sees only summaries
+    # of EARLIER buckets — the same bucket's right rows already participate
+    # in that bucket's phase-2 window and must not also arrive as a seed
+    # (a same-bucket "seed" could even postdate the left rows).
+    ws = Window.partitionBy(key).orderBy("_b", "_mark").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    seeds = (
+        summary.withColumn("_carry", F.last("_seed", ignorenulls=True).over(ws))
+        .where((F.col("_mark") == 0) & F.col("_carry").isNotNull())
+        .select(
+            F.col(key),
+            F.col("_b"),
+            F.col("_carry.asof_ts").alias("_ts"),
+            *[F.col(f"_carry.{c}").alias(c) for c in right_payload],
+        )
+    )
+
+    # phase 2: plain carry per (key, bucket); seeds ride as right rows
+    lhs = (
+        left.withColumn("_side", F.lit(1))
+        .withColumn("_ts", F.col(left_ts))
+        .withColumn("_b", bucket_of(left_ts))
+    )
+    rhs = rb.select(key, "_b", "_ts", *right_payload).withColumn("_side", F.lit(0))
+    seed_rhs = seeds.withColumn("_side", F.lit(0))
+    rhs_all = rhs.unionByName(seed_rhs)
+    for c in lhs.columns:
+        if c not in rhs_all.columns:
+            rhs_all = rhs_all.withColumn(c, F.lit(None).cast(lhs.schema[c].dataType))
+    for c in rhs_all.columns:
+        if c not in lhs.columns:
+            lhs = lhs.withColumn(c, F.lit(None).cast(rhs_all.schema[c].dataType))
+    unioned = lhs.unionByName(rhs_all.select(*lhs.columns))
+
+    w = Window.partitionBy(key, "_b").orderBy("_ts", "_side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    right_row = F.when(
+        (F.col("_side") == 0) & F.col("_ts").isNotNull(),
+        F.struct(F.col("_ts").alias("asof_ts"), *[F.col(c) for c in right_payload]),
+    )
+    carried = unioned.withColumn("_asof", F.last(right_row, ignorenulls=True).over(w))
+    out = (
+        carried.where(F.col("_side") == 1)
+        .withColumn("asof_ts", F.col("_asof.asof_ts"))
+    )
+    for c in right_payload:
+        out = out.withColumn(c, F.col(f"_asof.{c}"))
+    return out.drop("_side", "_ts", "_asof", "_b")
+
+
 def range_join_binned(
     facts: DataFrame,
     intervals: DataFrame,

@@ -212,3 +212,44 @@ def test_range_join_matches_brute_force(spark, facts, ivs):
         if s <= t < s + n
     )
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lefts=lefts, rights=rights)
+def test_bucketed_asof_matches_plain(spark, lefts, rights):
+    """The skew-proof two-phase as-of must be output-identical to the
+    plain union+window form — tiny buckets force the cross-bucket seed
+    path on nearly every example."""
+    from sonata_neo4j_loader_spark.operators import temporal
+
+    best: dict[tuple[int, int], int] = {}
+    for k, t, p in rights:
+        best[(k, t)] = max(best.get((k, t), -1), p)
+    rrows = [(k, _to_ts(t), p) for (k, t), p in best.items()]
+    left_df = spark.createDataFrame(
+        [(i, k, _to_ts(t)) for i, (k, t) in enumerate(lefts)],
+        "lid long, k long, ts timestamp",
+    )
+    right_df = spark.createDataFrame(
+        rrows or [(0, _to_ts(0), 0)], "k long, rts timestamp, payload long"
+    )
+    if not rrows:
+        right_df = right_df.where("k < 0")
+
+    plain = {
+        r.lid: (r.asof_ts, r.payload)
+        for r in temporal.asof_join(
+            left_df, right_df, "k", "ts", "rts", ["payload"]
+        ).collect()
+    }
+    bucketed = {
+        r.lid: (r.asof_ts, r.payload)
+        for r in temporal.asof_join_bucketed(
+            left_df, right_df, "k", "ts", "rts", ["payload"], bucket_seconds=97
+        ).collect()
+    }
+    assert bucketed == plain
