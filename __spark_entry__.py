@@ -1116,6 +1116,28 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("signup_event").agg(F.count(F.lit(1)).alias("n_clicks"))
 
 
+def kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out degree per neuron over the SYNAPSES_ONTO multiset (parallel
+    edges count — CREATE semantics). Oracle: independent Python count over
+    the fixture edge list."""
+    from sonata_neo4j_loader_spark.operators import graph
+
+    syn = _kg_outputs(spark)["synapse_triples"]
+    return graph.degree_stats(syn.select("subj", "obj"))
+
+
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (0.85, 20 fixed iterations, dangling mass spread
+    uniformly) over the synapse multiset — iterated join+aggregate with
+    the rank frame broadcast; edge table scanned once per iteration.
+    Oracle: independent plain-Python power iteration on the fixture."""
+    from sonata_neo4j_loader_spark.operators import graph
+
+    syn = _kg_outputs(spark)["synapse_triples"]
+    pr = graph.pagerank(syn.select("subj", "obj"), n_iterations=20)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def kg_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _kg_outputs(spark)
     return out["invariant_violations"].select("doc_id")
@@ -1219,6 +1241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rich_aggregated_mtype": kg_rich_aggregated_mtype,
         "spike_has_spike_triples": spike_has_spike_triples,
         "spiked_edges": spiked_edges,
+        "kg_degrees": kg_degrees,
+        "kg_pagerank": kg_pagerank,
         "events_asof_signup": events_asof_signup,
         "events_percentiles": events_percentiles,
         "events_pivot": events_pivot,
@@ -1350,6 +1374,48 @@ def _kg_pop_props_oracle() -> str:
     return (
         f"SELECT entity_id, name, CAST(size AS BIGINT) AS size "
         f"FROM (VALUES {_values_rows(rows)}) AS t(entity_id, name, size)"
+    )
+
+
+def _kg_degrees_oracle() -> str:
+    out_d: dict[str, int] = {}
+    in_d: dict[str, int] = {}
+    for _ep, sp, si, tp, ti in fixture.EDGES:
+        out_d[fixture.neuron_entity(sp, si)] = out_d.get(fixture.neuron_entity(sp, si), 0) + 1
+        in_d[fixture.neuron_entity(tp, ti)] = in_d.get(fixture.neuron_entity(tp, ti), 0) + 1
+    nodes = sorted(set(out_d) | set(in_d))
+    rows = [(n, out_d.get(n, 0), in_d.get(n, 0)) for n in nodes]
+    return (
+        f"SELECT node, CAST(out_degree AS BIGINT) AS out_degree, "
+        f"CAST(in_degree AS BIGINT) AS in_degree "
+        f"FROM (VALUES {_values_rows(rows)}) AS t(node, out_degree, in_degree)"
+    )
+
+
+def _kg_pagerank_oracle(damping: float = 0.85, n_iterations: int = 20) -> str:
+    edges = [
+        (fixture.neuron_entity(sp, si), fixture.neuron_entity(tp, ti))
+        for _ep, sp, si, tp, ti in fixture.EDGES
+    ]
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    out: dict[str, int] = {}
+    for s, _t in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iterations):
+        dangling = sum(r for v, r in rank.items() if v not in out)
+        incoming = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            incoming[t] += rank[s] / out[s]
+        rank = {
+            v: (1.0 - damping) / n + damping * (incoming[v] + dangling / n)
+            for v in nodes
+        }
+    rows = [(v, round(rank[v], 6)) for v in nodes]
+    return (
+        f"SELECT node, CAST(rank AS DOUBLE) AS rank "
+        f"FROM (VALUES {_values_rows(rows)}) AS t(node, rank)"
     )
 
 
@@ -2036,6 +2102,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_synapse_triples": _kg_syn_oracle(),
         "kg_aggregated_mtype": _kg_agg_oracle(),
         "kg_nodes": _kg_nodes_oracle(),
+        "kg_degrees": _kg_degrees_oracle(),
+        "kg_pagerank": _kg_pagerank_oracle(),
         "kg_node_properties": _kg_node_props_oracle(),
         "kg_population_properties": _kg_pop_props_oracle(),
         "kg_population_size": _kg_popsize_oracle(),
