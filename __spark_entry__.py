@@ -1393,6 +1393,11 @@ def _kg_degrees_oracle() -> str:
 
 
 def _kg_pagerank_oracle(damping: float = 0.85, n_iterations: int = 20) -> str:
+    # Rounding safety (checked, same discipline as fixture.edge_prop_value):
+    # every fixture rank sits >= 4.9e-8 from a 6-decimal rounding boundary,
+    # ~10^7x the float accumulation difference between Spark's
+    # shuffle-ordered sums and this loop — so HALF_UP-vs-HALF_EVEN mode and
+    # last-ulp drift cannot flip a rounded digit.
     edges = [
         (fixture.neuron_entity(sp, si), fixture.neuron_entity(tp, ti))
         for _ep, sp, si, tp, ti in fixture.EDGES

@@ -7,11 +7,12 @@ measures in-engine over the ``(subj, pred, obj)`` edge table:
 * :func:`degree_stats` — in/out degree per node, one aggregation each.
 * :func:`pagerank` — classic damped PageRank by iterated join+aggregate:
   rank/out_degree flows along edges, dangling mass redistributes
-  uniformly. Each iteration is one broadcast-or-shuffle join plus one
-  groupBy; ranks are node-table-sized (dimension-scale), so at 10^12
-  edges the edge table is the only big side and it is scanned once per
-  iteration with the rank frame broadcast. ``localCheckpoint`` every few
-  rounds truncates the growing lineage, same discipline as the
+  uniformly. Each iteration is one join (broadcast-or-shuffle, AQE's
+  call — the rank frame is node-scale and may exceed broadcast limits)
+  plus one groupBy, the dangling mass is a broadcast 1-row scalar frame
+  (no per-iteration driver action), and the node/out-degree dimensions
+  are computed once and persisted. An EAGER ``localCheckpoint`` every few
+  rounds truncates the growing lineage — same discipline as the
   connected-components loop (operators/canonicalize.py).
 
 Edges are treated as a multiset (SYNAPSES_ONTO is CREATE semantics —
@@ -56,34 +57,36 @@ def pagerank(
     Fixed iteration count (not convergence-tested) so results are
     deterministic and cross-checkable against an independent
     implementation. Output: (node, rank), ranks summing to 1.
+    Empty edge tables return an empty (node, rank) frame.
     """
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .persist()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("out_degree")
-    )
+    ).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
 
     for i in range(n_iterations):
         with_deg = ranks.join(out_deg, "node", "left")
-        # dangling nodes (no out-edges) spread their whole rank uniformly
-        dangling = (
-            with_deg.where(F.col("out_degree").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-            .first()["d"]
+        # dangling nodes (no out-edges) spread their whole rank uniformly;
+        # the mass rides as a broadcast 1-row scalar frame so the whole
+        # iteration stays inside the plan (no driver round-trip per round)
+        dangling = with_deg.where(F.col("out_degree").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
         )
         contribs = (
             edges.join(
-                F.broadcast(
-                    with_deg.where(F.col("out_degree").isNotNull()).select(
-                        F.col("node").alias(src),
-                        (F.col("rank") / F.col("out_degree")).alias("share"),
-                    )
+                with_deg.where(F.col("out_degree").isNotNull()).select(
+                    F.col("node").alias(src),
+                    (F.col("rank") / F.col("out_degree")).alias("share"),
                 ),
                 src,
             )
@@ -92,15 +95,22 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce("incoming", F.lit(0.0)) + F.lit(dangling / n_nodes))
+                    * (
+                        F.coalesce("incoming", F.lit(0.0))
+                        + F.col("_dangling") / n_nodes
+                    )
                 ).alias("rank"),
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            # eager: actually materializes, bounding plan growth; a lazy
+            # checkpoint would re-run everything since the last one at the
+            # next action
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

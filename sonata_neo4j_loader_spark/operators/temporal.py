@@ -29,63 +29,51 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def asof_join(
-    left: DataFrame,
-    right: DataFrame,
-    key: str,
-    left_ts: str,
-    right_ts: str,
-    right_payload: list[str],
-    tolerance_seconds: float | None = None,
-) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.ts <= left.ts`` for the same key (backward as-of join,
-    inclusive on ties). Right payload columns come back null when no
-    right row precedes the left row (or none within ``tolerance_seconds``).
+_RESERVED = {"_side", "_ts", "_asof", "_b", "_mark", "_seed", "_rn", "_carry"}
 
-    Output: all left columns + ``asof_ts`` + the right payload columns.
 
-    Skew note: the window partitions by ``key`` alone, so one pathological
-    key's full history lands on a single reducer. At that point switch to
-    the two-phase variant (bucket by (key, coarse time range), carry each
-    bucket's last right row into the next bucket as a seed row) — the
-    standard telemetry-scale refinement; not needed while per-key history
-    fits a partition (AQE skew-split cannot help a window, unlike a join).
-    """
+def _check_asof_columns(
+    fn: str, left: DataFrame, right: DataFrame, right_payload: list[str]
+) -> None:
     collisions = (set(right_payload) | {"asof_ts"}) & set(left.columns)
-    internals = {"_side", "_ts", "_asof"} & (set(left.columns) | set(right.columns))
+    internals = _RESERVED & (set(left.columns) | set(right.columns))
     if collisions or internals:
         raise ValueError(
-            f"asof_join column collisions: payload/asof_ts vs left "
+            f"{fn} column collisions: payload/asof_ts vs left "
             f"{sorted(collisions)}, reserved internals {sorted(internals)}"
             " — alias the offending columns first"
         )
-    lhs = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
-    rhs = (
-        right.select(
-            F.col(key),
-            F.col(right_ts).alias("_ts"),
-            *[F.col(c) for c in right_payload],
-        )
-        .withColumn("_side", F.lit(0))
-    )
+
+
+def _pad_union(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
+    """Schema-align two sides with typed nulls, then union."""
     for c in lhs.columns:
         if c not in rhs.columns:
             rhs = rhs.withColumn(c, F.lit(None).cast(lhs.schema[c].dataType))
     for c in rhs.columns:
         if c not in lhs.columns:
             lhs = lhs.withColumn(c, F.lit(None).cast(rhs.schema[c].dataType))
-    unioned = lhs.unionByName(rhs.select(*lhs.columns))
+    return lhs.unionByName(rhs.select(*lhs.columns))
 
-    # right rows sort before left rows at equal timestamps (_side 0 < 1),
-    # so a tie is visible to the left row — inclusive semantics. The
-    # timestamp AND payload travel as ONE struct through a single
-    # last(ignorenulls): per-column carries would mix fields from
-    # different right rows whenever a payload value is null, and a
-    # null-timestamp right row must contribute nothing at all.
-    w = Window.partitionBy(key).orderBy("_ts", "_side").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+
+def _carry_right(
+    unioned: DataFrame,
+    partition_cols: list[str],
+    right_payload: list[str],
+) -> DataFrame:
+    """The as-of carry: left rows pick up the most recent right row.
+
+    Right rows sort before left rows at equal timestamps (_side 0 < 1) —
+    inclusive tie semantics — and right-right (key, ts) ties resolve to
+    the largest payload tuple (the trailing orderBy keys), so output is
+    deterministic under any partitioning. Timestamp AND payload travel as
+    ONE struct through a single last(ignorenulls): per-column carries
+    would mix fields from different right rows whenever a payload value
+    is null, and a null-timestamp right row must contribute nothing.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(
+        "_ts", "_side", *right_payload
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     right_row = F.when(
         (F.col("_side") == 0) & F.col("_ts").isNotNull(),
         F.struct(F.col("_ts").alias("asof_ts"), *[F.col(c) for c in right_payload]),
@@ -97,19 +85,65 @@ def asof_join(
     )
     for c in right_payload:
         out = out.withColumn(c, F.col(f"_asof.{c}"))
-    out = out.drop("_side", "_ts", "_asof")
-    if tolerance_seconds is not None:
-        within = (
-            F.col("asof_ts").isNotNull()
-            & (
-                F.expr(f"timestampdiff(MICROSECOND, asof_ts, {left_ts})")
-                <= int(tolerance_seconds * 1_000_000)
-            )
+    return out.drop("_side", "_ts", "_asof")
+
+
+def _apply_tolerance(
+    out: DataFrame,
+    left_ts: str,
+    right_payload: list[str],
+    tolerance_seconds: float | None,
+) -> DataFrame:
+    if tolerance_seconds is None:
+        return out
+    within = (
+        F.col("asof_ts").isNotNull()
+        & (
+            F.expr(f"timestampdiff(MICROSECOND, asof_ts, {left_ts})")
+            <= int(tolerance_seconds * 1_000_000)
         )
-        out = out.withColumn("asof_ts", F.when(within, F.col("asof_ts")))
-        for c in right_payload:
-            out = out.withColumn(c, F.when(within, F.col(c)))
+    )
+    out = out.withColumn("asof_ts", F.when(within, F.col("asof_ts")))
+    for c in right_payload:
+        out = out.withColumn(c, F.when(within, F.col(c)))
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` for the same key (backward as-of join,
+    inclusive on ties; right-right ties on (key, ts) resolve to the
+    largest payload tuple — deterministic). Right payload columns come
+    back null when no right row precedes the left row (or none within
+    ``tolerance_seconds``).
+
+    Output: all left columns + ``asof_ts`` + the right payload columns.
+
+    Skew note: the window partitions by ``key`` alone, so one pathological
+    key's full history lands on a single reducer. Use
+    :func:`asof_join_bucketed` past that point (AQE skew-split cannot help
+    a window, unlike a join).
+    """
+    _check_asof_columns("asof_join", left, right, right_payload)
+    lhs = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rhs = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c) for c in right_payload],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    out = _carry_right(_pad_union(lhs, rhs), [key], right_payload)
+    return _apply_tolerance(out, left_ts, right_payload, tolerance_seconds)
 
 
 def asof_join_bucketed(
@@ -120,11 +154,13 @@ def asof_join_bucketed(
     right_ts: str,
     right_payload: list[str],
     bucket_seconds: int = 24 * 3600,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Skew-proof two-phase as-of join: identical semantics to
-    :func:`asof_join`, but every window partitions on (key, time bucket),
-    so one pathological key's history spreads across buckets instead of
-    landing on a single reducer.
+    :func:`asof_join` (including the largest-payload tie discipline and
+    ``tolerance_seconds``), but every window partitions on (key, time
+    bucket), so one pathological key's history spreads across buckets
+    instead of landing on a single reducer.
 
     Phase 1 (seed derivation): the last right row per (key, bucket) —
     a bounded per-bucket window — then, over the per-key *bucket summary*
@@ -135,20 +171,9 @@ def asof_join_bucketed(
     right-side history lives entirely in the past still resolves.
 
     Right rows with a null timestamp contribute nothing (as in
-    :func:`asof_join`). Ties on (key, ts) between right rows resolve by
-    the largest payload struct (deterministic; pre-reduce if you need a
-    different discipline).
+    :func:`asof_join`).
     """
-    collisions = (set(right_payload) | {"asof_ts"}) & set(left.columns)
-    internals = {"_side", "_ts", "_asof", "_b", "_mark", "_seed"} & (
-        set(left.columns) | set(right.columns)
-    )
-    if collisions or internals:
-        raise ValueError(
-            f"asof_join_bucketed column collisions: payload/asof_ts vs left "
-            f"{sorted(collisions)}, reserved internals {sorted(internals)}"
-            " — alias the offending columns first"
-        )
+    _check_asof_columns("asof_join_bucketed", left, right, right_payload)
 
     def bucket_of(ts_col: str) -> Column:
         return F.floor(
@@ -208,29 +233,8 @@ def asof_join_bucketed(
     rhs = rb.select(key, "_b", "_ts", *right_payload).withColumn("_side", F.lit(0))
     seed_rhs = seeds.withColumn("_side", F.lit(0))
     rhs_all = rhs.unionByName(seed_rhs)
-    for c in lhs.columns:
-        if c not in rhs_all.columns:
-            rhs_all = rhs_all.withColumn(c, F.lit(None).cast(lhs.schema[c].dataType))
-    for c in rhs_all.columns:
-        if c not in lhs.columns:
-            lhs = lhs.withColumn(c, F.lit(None).cast(rhs_all.schema[c].dataType))
-    unioned = lhs.unionByName(rhs_all.select(*lhs.columns))
-
-    w = Window.partitionBy(key, "_b").orderBy("_ts", "_side").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    right_row = F.when(
-        (F.col("_side") == 0) & F.col("_ts").isNotNull(),
-        F.struct(F.col("_ts").alias("asof_ts"), *[F.col(c) for c in right_payload]),
-    )
-    carried = unioned.withColumn("_asof", F.last(right_row, ignorenulls=True).over(w))
-    out = (
-        carried.where(F.col("_side") == 1)
-        .withColumn("asof_ts", F.col("_asof.asof_ts"))
-    )
-    for c in right_payload:
-        out = out.withColumn(c, F.col(f"_asof.{c}"))
-    return out.drop("_side", "_ts", "_asof", "_b")
+    out = _carry_right(_pad_union(lhs, rhs_all), [key, "_b"], right_payload).drop("_b")
+    return _apply_tolerance(out, left_ts, right_payload, tolerance_seconds)
 
 
 def range_join_binned(

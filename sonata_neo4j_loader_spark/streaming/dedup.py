@@ -47,11 +47,14 @@ def run_dedup_to_parquet(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    key_cols: list[str] | None = None,
     watermark_delay: str = "10 minutes",
 ):
     """Drain available deliveries into deduplicated parquet (append mode);
     re-invoking resumes from the checkpoint."""
-    deduped = dedup_stream(spark, input_dir, watermark_delay=watermark_delay)
+    deduped = dedup_stream(
+        spark, input_dir, key_cols=key_cols, watermark_delay=watermark_delay
+    )
     query = (
         deduped.writeStream.outputMode("append")
         .format("parquet")

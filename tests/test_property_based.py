@@ -144,21 +144,22 @@ def _to_ts(sec: int):
 def test_asof_join_matches_brute_force(spark, lefts, rights):
     from sonata_neo4j_loader_spark.operators import temporal
 
-    # dedupe right on (key, ts) keeping max payload — the documented
-    # deterministic-tie discipline (mirrors the contract query)
+    # RAW rights go in — duplicate (key, ts) rows included — so the
+    # documented largest-payload tie discipline is exercised, not masked;
+    # the brute-force expectation applies the same max-payload reduce
     best: dict[tuple[int, int], int] = {}
     for k, t, p in rights:
         best[(k, t)] = max(best.get((k, t), -1), p)
-    rrows = [(k, _to_ts(t), p) for (k, t), p in best.items()]
 
     left_df = spark.createDataFrame(
         [(i, k, _to_ts(t)) for i, (k, t) in enumerate(lefts)],
         "lid long, k long, ts timestamp",
     )
     right_df = spark.createDataFrame(
-        rrows or [(0, _to_ts(0), 0)], "k long, rts timestamp, payload long"
+        [(k, _to_ts(t), p) for k, t, p in rights] or [(0, _to_ts(0), 0)],
+        "k long, rts timestamp, payload long",
     )
-    if not rrows:
+    if not rights:
         right_df = right_df.where("k < 0")  # genuinely empty right side
 
     got = {
@@ -226,18 +227,17 @@ def test_bucketed_asof_matches_plain(spark, lefts, rights):
     path on nearly every example."""
     from sonata_neo4j_loader_spark.operators import temporal
 
-    best: dict[tuple[int, int], int] = {}
-    for k, t, p in rights:
-        best[(k, t)] = max(best.get((k, t), -1), p)
-    rrows = [(k, _to_ts(t), p) for (k, t), p in best.items()]
     left_df = spark.createDataFrame(
         [(i, k, _to_ts(t)) for i, (k, t) in enumerate(lefts)],
         "lid long, k long, ts timestamp",
     )
+    # RAW rights — (key, ts) duplicate payloads exercise the shared
+    # largest-payload tie discipline in BOTH variants
     right_df = spark.createDataFrame(
-        rrows or [(0, _to_ts(0), 0)], "k long, rts timestamp, payload long"
+        [(k, _to_ts(t), p) for k, t, p in rights] or [(0, _to_ts(0), 0)],
+        "k long, rts timestamp, payload long",
     )
-    if not rrows:
+    if not rights:
         right_df = right_df.where("k < 0")
 
     plain = {
