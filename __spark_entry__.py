@@ -825,8 +825,12 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count verify on the Spark side vs brute all-pairs in the oracle.
     The engine hot path defaults to xxhash64 (operators/dedup.py)."""
     docs = _t(spark, sf_dir, "documents")
+    # max_bucket_size=None = exact mode, matching the brute all-pairs
+    # oracle; the web-scale hot-bucket bound (default 1000) is covered by
+    # the skewed-fixture pytest (tests/test_dedup_quality.py).
     return dedup.simhash_near_duplicates(
-        docs, "doc_id", "text", max_hamming=3, hash_impl="md5"
+        docs, "doc_id", "text", max_hamming=3, hash_impl="md5",
+        max_bucket_size=None,
     )
 
 
@@ -884,9 +888,11 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(1.0005)).alias("embedding"),
     )
     corpus = emb.unionByName(twins)
-    return similarity.embedding_near_duplicates(corpus, threshold=0.95).select(
-        "id_a", "id_b"
-    )
+    # exact mode to match the brute-force oracle; the hot-bucket bound
+    # (default 1000) is covered by the skew-fixture pytest.
+    return similarity.embedding_near_duplicates(
+        corpus, threshold=0.95, max_bucket_size=None
+    ).select("id_a", "id_b")
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1139,8 +1145,16 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-ordering audit as a checkable aggregate: the pipeline must emit
+    zero invariant-violation rows, so the query returns ONE row
+    ``(n_violations bigint)`` and the oracle is the constant ``SELECT 0``.
+    (Previously returned the must-be-empty violation rows themselves, which
+    the SQL-oracle harness records as ``no_oracle`` — same invariant, now
+    expressible.) Per-row pytest coverage remains in tests/test_parse.py."""
     out = _kg_outputs(spark)
-    return out["invariant_violations"].select("doc_id")
+    return out["invariant_violations"].agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
 
 
 def kg_dynamic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,75 +1195,93 @@ def kg_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-contract registry.
+
+    ORDERING MATTERS: the round-2 driver adjudicated exactly the first 50
+    registry entries (CORRECTNESS_r02.json has 50 rows for a 68-query
+    registry), so queries are ordered by verification debt — first the 11
+    queries that have never had a driver row, then the reshaped
+    span-invariant audit, then the 7 queries last green in r01 whose
+    lineage was refactored in r02, then the r02-green set with the
+    cheapest, longest-green TPC-H queries at the tail (they have matching
+    r01+r02 rows already and lose the least from being truncated).
+    """
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_unshipped_orders": q3_unshipped_orders,
-        "q5_nation_revenue": q5_nation_revenue,
-        "q6_revenue_change": q6_revenue_change,
-        "q14_promo_share": q14_promo_share,
-        "q18_large_orders": q18_large_orders,
+        # --- never driver-adjudicated (no row in r01 or r02) ---
+        "events_asof_signup": events_asof_signup,
+        "events_range_join": events_range_join,
+        "events_percentiles": events_percentiles,
+        "events_pivot": events_pivot,
+        "events_cube": events_cube,
+        "users_click_and_error": users_click_and_error,
+        "kg_degrees": kg_degrees,
+        "kg_pagerank": kg_pagerank,
+        "kg_node_properties": kg_node_properties,
+        "kg_population_properties": kg_population_properties,
+        "spiked_edges": spiked_edges,
+        # --- was no_oracle in r02; reshaped to an aggregate with an oracle ---
+        "kg_span_invariant": kg_span_invariant,
+        # --- green in r01 only; lineage refactored in r02 (fc9ccff, 157a9f6) ---
+        "kg_nodes": kg_nodes,
+        "kg_canonical_map": kg_canonical_map,
+        "kg_edge_population_parse": kg_edge_population_parse,
+        "kg_population_size": kg_population_size,
+        "kg_rich_aggregated_mtype": kg_rich_aggregated_mtype,
+        "spike_has_spike_triples": spike_has_spike_triples,
+        "spike_rate_by_neuron": spike_rate_by_neuron,
+        # --- r02-green: kg/doc pipeline core ---
+        "kg_attribute_triples": kg_attribute_triples,
+        "kg_synapse_triples": kg_synapse_triples,
+        "kg_aggregated_mtype": kg_aggregated_mtype,
+        "kg_dynamic_labels": kg_dynamic_labels,
+        # --- r02-green: LLM-pipeline operators ---
+        "corpus_prep_survivors": corpus_prep_survivors,
+        "dedup_exact_groups": dedup_exact_groups,
+        "minhash_near_dups": minhash_near_dups,
+        "simhash_near_dups": simhash_near_dups,
+        "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
+        "embedding_near_dups": embedding_near_dups,
+        "ann_brute_topk": ann_brute_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "multimodal_features": multimodal_features,
+        "text_stats": text_stats,
+        "doc_fingerprints": doc_fingerprints,
+        "lang_distribution": lang_distribution,
+        "sampled_docs_hash": sampled_docs_hash,
+        "sampled_docs_exact_k": sampled_docs_exact_k,
+        # --- r02-green: events / relational ---
+        "events_hourly_rollup": events_hourly_rollup,
+        "events_sessions": events_sessions,
+        "events_json_props": events_json_props,
+        "events_type_rollup": events_type_rollup,
+        "top_orders_per_customer": top_orders_per_customer,
         "customers_with_orders": customers_with_orders,
         "customers_without_orders": customers_without_orders,
-        "top_orders_per_customer": top_orders_per_customer,
         "nations_customers_and_suppliers": nations_customers_and_suppliers,
         "nations_customers_only": nations_customers_only,
+        # --- r02-green TPC-H tail (doubly adjudicated r01+r02) ---
+        "q1_pricing_summary": q1_pricing_summary,
         "q2_min_price_supplier": q2_min_price_supplier,
+        "q3_unshipped_orders": q3_unshipped_orders,
+        "q4_order_priority": q4_order_priority,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q6_revenue_change": q6_revenue_change,
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q10_returned_items": q10_returned_items,
         "q12_shipping_delay_classes": q12_shipping_delay_classes,
-        "q15_top_supplier": q15_top_supplier,
-        "q20_bulk_suppliers": q20_bulk_suppliers,
-        "q4_order_priority": q4_order_priority,
         "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_share": q14_promo_share,
+        "q15_top_supplier": q15_top_supplier,
         "q16_supplier_variety": q16_supplier_variety,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
         "q19_discounted_revenue": q19_discounted_revenue,
+        "q20_bulk_suppliers": q20_bulk_suppliers,
         "q21_late_sole_suppliers": q21_late_sole_suppliers,
         "q22_dormant_rich_customers": q22_dormant_rich_customers,
-        "events_hourly_rollup": events_hourly_rollup,
-        "events_sessions": events_sessions,
-        "events_json_props": events_json_props,
-        "events_type_rollup": events_type_rollup,
-        "text_stats": text_stats,
-        "doc_fingerprints": doc_fingerprints,
-        "sampled_docs_hash": sampled_docs_hash,
-        "sampled_docs_exact_k": sampled_docs_exact_k,
-        "lang_distribution": lang_distribution,
-        "corpus_prep_survivors": corpus_prep_survivors,
-        "dedup_exact_groups": dedup_exact_groups,
-        "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
-        "minhash_near_dups": minhash_near_dups,
-        "simhash_near_dups": simhash_near_dups,
-        "ann_brute_topk": ann_brute_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "embedding_near_dups": embedding_near_dups,
-        "multimodal_features": multimodal_features,
-        "kg_attribute_triples": kg_attribute_triples,
-        "kg_synapse_triples": kg_synapse_triples,
-        "kg_aggregated_mtype": kg_aggregated_mtype,
-        "kg_span_invariant": kg_span_invariant,
-        "kg_dynamic_labels": kg_dynamic_labels,
-        "kg_edge_population_parse": kg_edge_population_parse,
-        "kg_canonical_map": kg_canonical_map,
-        "kg_nodes": kg_nodes,
-        "kg_node_properties": kg_node_properties,
-        "kg_population_properties": kg_population_properties,
-        "kg_population_size": kg_population_size,
-        "kg_rich_aggregated_mtype": kg_rich_aggregated_mtype,
-        "spike_has_spike_triples": spike_has_spike_triples,
-        "spiked_edges": spiked_edges,
-        "kg_degrees": kg_degrees,
-        "kg_pagerank": kg_pagerank,
-        "events_asof_signup": events_asof_signup,
-        "events_percentiles": events_percentiles,
-        "events_pivot": events_pivot,
-        "events_cube": events_cube,
-        "users_click_and_error": users_click_and_error,
-        "events_range_join": events_range_join,
-        "spike_rate_by_neuron": spike_rate_by_neuron,
     }
 
 
@@ -2081,6 +2113,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_dynamic_labels": _kg_dynamic_labels_oracle(),
         "kg_edge_population_parse": _kg_edge_pop_parse_oracle(),
         "kg_canonical_map": _kg_canonical_oracle(),
+        # the invariant is "zero violation rows"; the Spark side returns the
+        # violation COUNT so the oracle is the expressible constant 0
+        "kg_span_invariant": "SELECT CAST(0 AS BIGINT) AS n_violations",
         # md5 metadata twin re-derived end-to-end: ref -> 60-bit md5 prefix
         # -> media_type/duration -> n_frames; feature_dim is the contract
         # constant (the stubbed decoder's values are pytest-pinned).

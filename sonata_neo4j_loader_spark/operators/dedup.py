@@ -20,10 +20,14 @@ Scale design (the part that matters at 10^12 docs):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import add_shingles, fingerprint, normalized_text
+
+_LOG = logging.getLogger(__name__)
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -319,6 +323,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     seed: int = 42,
     hash_impl: str = "xxhash64",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -326,6 +331,18 @@ def simhash_near_duplicates(
     Hamming ≤ 3 must agree on ≥1 of 4 chunks — pigeonhole); exact
     ``bit_count(xor)`` verification on candidates. ``hash_impl='md5'``
     makes the output DuckDB-reproducible (see :func:`simhash_expr`).
+
+    Skew bound: a (chunk, val) bucket holding p docs yields p² join rows
+    on one shuffle key — short/templated corpora collapse to few simhash
+    values, so web scale needs the same hot-bucket bound as
+    :func:`minhash_lsh_candidates`. Buckets larger than
+    ``max_bucket_size`` are dropped via the aggregate-then-semi-join
+    pattern (not a window); a doc in a degenerate bucket usually shares a
+    *different*, smaller chunk bucket with its true near-dups, and the
+    pair survives through that one. ``max_bucket_size=None`` disables the
+    bound (exact small-scale mode — what the DuckDB oracle reproduces).
+    NOT silent: dropping changes recall, so it is opt-out-able, logged at
+    plan-build time, and the pytest skew fixture pins the behavior.
     """
     sh = add_shingles(
         _spread(df.select(F.col(id_col).alias("_id"), text_col), "_id"),
@@ -347,6 +364,19 @@ def simhash_near_duplicates(
             )
         ).alias("cb"),
     ).select("_id", "sh", "cb.chunk", "cb.val")
+    if max_bucket_size is not None:
+        _LOG.info(
+            "simhash_near_duplicates: dropping (chunk,val) buckets larger "
+            "than %d docs (recall bound; pass max_bucket_size=None for exact)",
+            max_bucket_size,
+        )
+        small_buckets = (
+            chunked.groupBy("chunk", "val")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
+            .select("chunk", "val")
+        )
+        chunked = chunked.join(small_buckets, ["chunk", "val"], "left_semi")
     a = chunked.select("chunk", "val", F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = chunked.select("chunk", "val", F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (

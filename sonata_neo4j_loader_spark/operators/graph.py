@@ -59,6 +59,13 @@ def pagerank(
     implementation. Output: (node, rank), ranks summing to 1.
     Empty edge tables return an empty (node, rank) frame.
     """
+    # the caller's lineage may be expensive (kg_pagerank feeds the full
+    # pipeline's synapse triples in): persist the projected edge table so
+    # the n_iterations joins below rescan a materialized frame, not the
+    # upstream plan, and unpersist everything before returning (the final
+    # eager localCheckpoint truncates the returned frame's lineage, so
+    # nothing the caller holds depends on these caches)
+    edges = edges.select(F.col(src).alias(src), F.col(dst).alias(dst)).persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -67,7 +74,10 @@ def pagerank(
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+        nodes.unpersist()
+        edges.unpersist()
+        return out
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("out_degree")
     ).persist()
@@ -113,4 +123,10 @@ def pagerank(
             # checkpoint would re-run everything since the last one at the
             # next action
             ranks = ranks.localCheckpoint(eager=True)
+    if n_iterations % checkpoint_every != 0:
+        ranks = ranks.localCheckpoint(eager=True)
+    # returned frame is checkpoint-rooted — safe to release the caches now
+    out_deg.unpersist()
+    nodes.unpersist()
+    edges.unpersist()
     return ranks

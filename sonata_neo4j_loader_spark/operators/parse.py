@@ -38,27 +38,46 @@ def span_fingerprint() -> F.Column:
 
 
 def parse_documents(docs: DataFrame) -> DataFrame:
-    """documents -> (doc_id, spans, doc_text, media_refs, span_fingerprint, spans_valid)."""
-    sorted_spans = F.expr(_SORT)
-    n = F.size("spans")
-    offsets_ok = F.expr(
-        "forall(zip_with(transform(" + _SORT + ", s -> s.offset),"
-        " sequence(0, size(spans) - 1), (o, i) -> o = i), x -> x)"
+    """documents -> (doc_id, spans, doc_text, media_refs, span_fingerprint, spans_valid).
+
+    All five outputs derive from the SAME sorted-spans array, so the sort
+    is bound ONCE via the ``transform(array(X), sp -> ...)`` let-binding
+    idiom instead of being re-inlined into every consumer: higher-order
+    functions are interpreted (no whole-stage codegen, hence no codegen
+    subexpression elimination), and the naive ``withColumn`` chain
+    collapsed into one projection that re-ran the comparator
+    ``array_sort`` once per consumer — measured ~2× on the scan+parse leg
+    at 6M docs (PERF_NOTES.md round 3). The struct stays in its own
+    projection; CollapseProject keeps it single-evaluation because the
+    producer expression is non-cheap and multiply-referenced
+    (SPARK-36718).
+    """
+    packed = F.expr(
+        "transform(array(" + _SORT + "), sp -> struct("
+        " sp AS spans,"
+        " CASE WHEN size(sp) = 0 THEN false ELSE"
+        "   forall(zip_with(transform(sp, s -> s.offset),"
+        "     sequence(0, size(sp) - 1), (o, i) -> o = i), x -> x) END AS spans_valid,"
+        " array_join(transform(filter(sp, s -> s.kind = 'text'), s -> s.text), ' ')"
+        "   AS doc_text,"
+        " transform(filter(sp, s -> s.kind = 'media'), s -> s.media_ref)"
+        "   AS media_refs"
+        "))[0]"
     )
-    return (
-        docs.withColumn("span_fingerprint", span_fingerprint())
-        .withColumn("spans", sorted_spans)
-        .withColumn("spans_valid", F.when(n == 0, F.lit(False)).otherwise(offsets_ok))
-        .withColumn(
-            "doc_text",
-            F.array_join(
-                F.expr("transform(filter(spans, s -> s.kind = 'text'), s -> s.text)"), " "
-            ),
-        )
-        .withColumn(
-            "media_refs",
-            F.expr("transform(filter(spans, s -> s.kind = 'media'), s -> s.media_ref)"),
-        )
+    other_cols = [c for c in docs.columns if c != "spans"]
+    # span_fingerprint stays an INDEPENDENT column (not a struct member):
+    # nothing in the pipeline reads it (the audit recomputes fingerprints
+    # from `spans`), so keeping it separate lets Catalyst prune its
+    # aggregate+hash away entirely on the hot path.
+    return docs.select(
+        *other_cols, packed.alias("_parsed"), span_fingerprint().alias("span_fingerprint")
+    ).select(
+        *other_cols,
+        F.col("_parsed.spans").alias("spans"),
+        "span_fingerprint",
+        F.col("_parsed.spans_valid").alias("spans_valid"),
+        F.col("_parsed.doc_text").alias("doc_text"),
+        F.col("_parsed.media_refs").alias("media_refs"),
     )
 
 

@@ -84,12 +84,17 @@ def sample_exact_fraction(
 
     ≙ ``int(total * proportion)`` in the reference (data_extraction.py:119).
     Needs one counting pass (the reference pays the same: ``total`` comes
-    from the edge population size) + one TakeOrdered pass.
+    from the edge population size) + one TakeOrdered pass. The input is
+    eagerly localCheckpoint-ed first so both passes see the SAME
+    materialized rows — without it an expensive or nondeterministic
+    upstream lineage could make k inconsistent with the sampled population
+    (same discipline as the pagerank/connected-components loops).
     """
     if proportion >= 1.0:
         return df
     if proportion <= 0.0:
         return df.where(F.lit(False))
+    df = df.localCheckpoint(eager=True)
     k = int(df.count() * proportion)
     return sample_exact_k(df, k, key_col, seed)
 

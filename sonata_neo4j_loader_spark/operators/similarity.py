@@ -14,8 +14,12 @@ JVM-side, no UDF, no explode.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -344,8 +348,20 @@ def embedding_near_duplicates(
     n_planes: int = 12,
     bands: int = 3,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ threshold) via LSH buckets."""
+    """Embedding-cosine near-dup pairs (cos ≥ threshold) via LSH buckets.
+
+    Skew bound: a dense cluster of near-identical embeddings — exactly the
+    expected input for a near-dup pass — lands in ONE (band, bucket) key
+    and yields p² join rows there. Buckets larger than ``max_bucket_size``
+    are dropped via aggregate-then-semi-join (same pattern as
+    ``dedup.minhash_lsh_candidates``); a vector in a degenerate bucket can
+    still pair through its other, smaller band buckets.
+    ``max_bucket_size=None`` disables the bound (exact small-scale mode,
+    what the DuckDB brute-force oracle reproduces). NOT silent: opt-out
+    parameter, plan-build log line, skew-fixture pytest.
+    """
     def band_structs(vec: Column) -> Column:
         bits = lsh_bucket_bits(vec, n_planes, dim, seed)
         bpb = n_planes // bands
@@ -365,6 +381,20 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("vec"),
         F.explode(band_structs(F.col(vec_col))).alias("bb"),
     ).select("_id", "vec", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        _LOG.info(
+            "embedding_near_duplicates: dropping (band,bucket) buckets "
+            "larger than %d vectors (recall bound; max_bucket_size=None "
+            "for exact)",
+            max_bucket_size,
+        )
+        small_buckets = (
+            e.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
+            .select("band", "bucket")
+        )
+        e = e.join(small_buckets, ["band", "bucket"], "left_semi")
     a = e.select("band", "bucket", F.col("_id").alias("id_a"), F.col("vec").alias("vec_a"))
     b = e.select("band", "bucket", F.col("_id").alias("id_b"), F.col("vec").alias("vec_b"))
     return (

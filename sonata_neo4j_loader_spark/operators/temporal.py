@@ -96,10 +96,14 @@ def _apply_tolerance(
 ) -> DataFrame:
     if tolerance_seconds is None:
         return out
+    # column objects, not a raw SQL string: left_ts may need quoting
+    # (spaces/dots/hyphens) that f-string interpolation would break;
+    # out[left_ts] resolves the literal name (F.col would treat '.' as a
+    # struct path)
     within = (
         F.col("asof_ts").isNotNull()
         & (
-            F.expr(f"timestampdiff(MICROSECOND, asof_ts, {left_ts})")
+            (F.unix_micros(out[left_ts]) - F.unix_micros(F.col("asof_ts")))
             <= int(tolerance_seconds * 1_000_000)
         )
     )

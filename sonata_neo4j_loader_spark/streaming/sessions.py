@@ -190,8 +190,31 @@ _DELAY_UNITS = {
 
 
 def _delay_seconds(delay: str) -> float:
-    n, unit = delay.strip().split()
-    return float(n) * _DELAY_UNITS[unit.rstrip("s").lower()]
+    """Parse a Spark watermark-delay interval string to seconds.
+
+    Accepts the forms Spark's ``withWatermark`` does: an optional leading
+    ``interval`` keyword and one or more ``<number> <unit>`` pairs, e.g.
+    ``'10 minutes'``, ``'interval 10 minutes'``, ``'1 hour 30 minutes'``.
+    """
+    toks = delay.strip().lower().split()
+    if toks and toks[0] == "interval":
+        toks = toks[1:]
+    if not toks or len(toks) % 2 != 0:
+        raise ValueError(
+            f"unsupported watermark delay {delay!r}: expected "
+            "'[interval] <n> <unit> [<n> <unit> ...]' with units "
+            f"{sorted(_DELAY_UNITS)} (e.g. '10 minutes', '1 hour 30 minutes')"
+        )
+    total = 0.0
+    for n, unit in zip(toks[::2], toks[1::2]):
+        try:
+            total += float(n) * _DELAY_UNITS[unit.rstrip("s")]
+        except (ValueError, KeyError):
+            raise ValueError(
+                f"unsupported watermark delay {delay!r}: bad pair "
+                f"({n!r}, {unit!r}); units are {sorted(_DELAY_UNITS)}"
+            ) from None
+    return total
 
 
 def sessionize_stream(

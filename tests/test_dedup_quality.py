@@ -88,3 +88,32 @@ def test_exact_dedup_ignores_planted_mutations(corpus):
     # every planted doc as its own group
     groups = dedup.exact_duplicate_groups(corpus, "doc_id", "text")
     assert groups.where(F.col("n_members") > 1).count() == 0
+
+
+def test_simhash_hot_bucket_bound_drops_degenerate_bucket(spark):
+    # 30 identical docs collapse to ONE simhash value, so every 16-bit
+    # chunk bucket holds all 30 — the p² blow-up VERDICT flags at web
+    # scale. With max_bucket_size=10 those buckets must be dropped (no
+    # blob-internal pairs), while an honest near-dup pair living in its
+    # own size-2 buckets survives untouched.
+    blob_text = "spam spam spam lorem ipsum dolor sit amet consectetur adipiscing"
+    base = "the quick brown fox jumps over the lazy dog while reciting shakespeare sonnets"
+    rows = [(i, blob_text) for i in range(30)]
+    rows += [(100, base), (101, base + " zyzzyva")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in dedup.simhash_near_duplicates(df, max_bucket_size=None).collect()
+    }
+    blob_pairs = {(a, b) for a in range(30) for b in range(a + 1, 30)}
+    # identical docs => hamming 0 => every blob pair present in exact mode
+    assert blob_pairs <= exact
+
+    bounded = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in dedup.simhash_near_duplicates(df, max_bucket_size=10).collect()
+    }
+    assert bounded & blob_pairs == set()
+    # everything OUTSIDE the degenerate bucket is preserved by the bound
+    assert bounded == exact - blob_pairs

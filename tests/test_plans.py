@@ -191,3 +191,27 @@ def test_distinct_agg_two_phase(spark):
 
     plan = _plan(entry.q16_supplier_variety(spark, SF_DIR))
     assert plan.count("HashAggregate") >= 4 and "partial_count(distinct" in plan
+
+
+def test_pagerank_materializes_edge_input_once(spark):
+    # the caller's edge lineage must be scanned O(1) times, not once per
+    # iteration: pagerank persists its projected edge frame, so an
+    # accumulator planted in the upstream lineage moves only during the
+    # initial materialization jobs, never in the 20-iteration loop
+    from sonata_neo4j_loader_spark.operators import graph
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(it):
+        acc.add(1)
+        return it
+
+    base = spark.createDataFrame(
+        [(i % 7, (i + 1) % 7) for i in range(100)], "subj long, obj long"
+    ).coalesce(2)
+    edges = spark.createDataFrame(base.rdd.mapPartitions(bump), base.schema)
+    graph.pagerank(edges, n_iterations=8, checkpoint_every=3).count()
+    # 2 partitions; allow each to evaluate a couple of times while the
+    # persist warms (nodes-union branches can race the cache) — the broken
+    # shape (rescan per iteration) would be >= 8 * 2 = 16
+    assert acc.value <= 6, acc.value

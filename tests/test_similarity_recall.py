@@ -65,3 +65,37 @@ def test_lsh_recall(spark, emb, exact_topk):
     )
     got = similarity.lsh_ann_topk(emb, q, k=10).collect()
     assert _recall(got, exact_topk) >= 0.22
+
+
+def test_embedding_near_dup_hot_bucket_bound(spark):
+    # a dense cluster of 30 same-direction vectors (positive rescales keep
+    # every hyperplane sign) lands in ONE bucket per band; with
+    # max_bucket_size=10 those buckets are dropped, while the negated pair
+    # (all sign bits complemented => disjoint buckets in every band)
+    # survives. Exact mode recovers the full cluster for contrast.
+    import math
+
+    v = [math.sin(i + 1) for i in range(64)]
+    neg = [-x for x in v]
+    rows = [(i, [x * (1.0 + 0.0001 * i) for x in v]) for i in range(30)]
+    rows += [(100, neg), (101, [x * 1.0005 for x in neg])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_duplicates(
+            df, threshold=0.95, max_bucket_size=None
+        ).collect()
+    }
+    cluster_pairs = {(a, b) for a in range(30) for b in range(a + 1, 30)}
+    assert cluster_pairs <= exact
+    assert (100, 101) in exact
+
+    bounded = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_duplicates(
+            df, threshold=0.95, max_bucket_size=10
+        ).collect()
+    }
+    assert bounded & cluster_pairs == set()
+    assert bounded == exact - cluster_pairs

@@ -152,3 +152,17 @@ def test_gap_and_timeout_sessionization(spark, tmp_path):
     assert (7, ts(50), ts(50), 1, 4.0) in got
     # user 9's session is still open (nothing after it) — not emitted
     assert not any(u == 9 for u, *_ in got)
+
+
+def test_delay_seconds_parses_spark_interval_forms():
+    assert S._delay_seconds("10 minutes") == 600.0
+    assert S._delay_seconds("interval 10 minutes") == 600.0
+    assert S._delay_seconds("1 hour 30 minutes") == 5400.0
+    assert S._delay_seconds("interval 1 hour 30 minutes") == 5400.0
+    assert S._delay_seconds("500 milliseconds") == 0.5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported watermark delay"):
+        S._delay_seconds("10 fortnights")
+    with _pytest.raises(ValueError, match="unsupported watermark delay"):
+        S._delay_seconds("minutes")

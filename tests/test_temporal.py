@@ -86,3 +86,26 @@ def test_range_join_boundaries(spark):
     # end-exclusive: a fact exactly at the end timestamp must not match
     at_end = spark.createDataFrame([(9, T0.replace(hour=1))], "fact_id long, t timestamp")
     assert temporal.range_join_binned(at_end, iv, "t", "s", "e", 1800).count() == 0
+
+
+def test_asof_tolerance_with_quoted_column_name(spark):
+    # left_ts names needing backtick quoting (space) must work end-to-end:
+    # the tolerance expression is built from column objects, not an
+    # interpolated SQL string
+    left = spark.createDataFrame(
+        [(1, ts(10), 7), (2, ts(20), 7)],
+        ["event_id", "event ts", "user_id"],
+    ).select("event_id", F.col("`event ts`").cast("timestamp").alias("event ts"), "user_id")
+    right = spark.createDataFrame(
+        [(7, ts(10), "a"), (7, ts(15), "b")],
+        "user_id long, rts timestamp, tag string",
+    )
+    out = {
+        r.event_id: (r.asof_ts, r.tag)
+        for r in temporal.asof_join(
+            left, right, "user_id", "event ts", "rts", ["tag"],
+            tolerance_seconds=120.0,
+        ).collect()
+    }
+    assert out[1] == (ts(10), "a")
+    assert out[2] == (None, None)  # 5 min old right row, beyond tolerance
