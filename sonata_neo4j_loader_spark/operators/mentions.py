@@ -271,6 +271,50 @@ def mentions_from_extracted(extracted: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("m.kind").alias("kind"), F.col("m.surface").alias("surface"))
 
 
+def attribute_pairs_from_extracted(extracted: DataFrame) -> DataFrame:
+    """(doc_id, subj_surface, kind, obj_surface) neuron×attribute pairs,
+    paired INSIDE each extraction row — zero shuffle.
+
+    The compact extraction frame already co-locates every mention of a
+    document in one row, so the subject×object pairing that
+    ``triples.neuron_attribute_triples`` expresses as a corpus-scale
+    doc_id self-join (a full shuffle of both mention sides) is really a
+    per-row array cross product: neuron-kind mentions × everything else
+    (media refs ride along as kind='media', exactly as in
+    :func:`mentions_from_extracted`). Downstream, both surfaces link via
+    broadcast joins and the final (subj, pred, obj) dedup is the ONLY
+    exchange — and it map-side-combines to dimension size. At 100 TB the
+    removed shuffle is corpus-scale; this one is the difference between
+    shuffling every mention row and shuffling the distinct triple set.
+    """
+    media_as_mentions = F.transform(
+        F.coalesce("media_refs", F.array().cast("array<string>")),
+        lambda r: F.struct(F.lit("media").alias("kind"), r.alias("surface")),
+    )
+    all_m = F.concat(F.coalesce("mentions", F.array()), media_as_mentions)
+    subs = F.filter(all_m, lambda m: m["kind"] == F.lit("neuron"))
+    objs = F.filter(all_m, lambda m: m["kind"] != F.lit("neuron"))
+    pairs = F.flatten(
+        F.transform(
+            subs,
+            lambda s: F.transform(
+                objs,
+                lambda o: F.struct(
+                    s["surface"].alias("subj_surface"),
+                    o["kind"].alias("kind"),
+                    o["surface"].alias("obj_surface"),
+                ),
+            ),
+        )
+    )
+    return extracted.select("doc_id", F.explode(pairs).alias("_p")).select(
+        "doc_id",
+        F.col("_p.subj_surface").alias("subj_surface"),
+        F.col("_p.kind").alias("kind"),
+        F.col("_p.obj_surface").alias("obj_surface"),
+    )
+
+
 def synapses_from_extracted(extracted: DataFrame) -> DataFrame:
     """One row per synapse statement from the compact extraction frame."""
     return (

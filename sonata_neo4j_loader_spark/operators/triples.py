@@ -63,6 +63,30 @@ def neuron_attribute_triples(linked: DataFrame) -> DataFrame:
     )
 
 
+def neuron_attribute_triples_from_pairs(pairs_linked: DataFrame) -> DataFrame:
+    """Linked per-document pairs (subj, kind, obj) -> deduped attribute triples.
+
+    The shuffle-free twin of :func:`neuron_attribute_triples`: pairing
+    happened inside the extraction row (``mentions.
+    attribute_pairs_from_extracted``) and both surfaces are already
+    linked/canonicalized, so all that remains is the kind→predicate map
+    and the MERGE dedup. The dropDuplicates is the only exchange in the
+    whole branch, and partial aggregation shrinks it to the distinct
+    triple set (dimension-sized) before any bytes move. Output is
+    row-identical to the self-join formulation (equality-tested).
+    """
+    pred_map = F.create_map(
+        *[x for k, v in ATTRIBUTE_PREDICATES.items() for x in (F.lit(k), F.lit(v))]
+    )
+    return (
+        pairs_linked.select(
+            "subj", pred_map[F.col("kind")].alias("pred"), "obj"
+        )
+        .where(F.col("pred").isNotNull())
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+
+
 def known_neurons(linked: DataFrame) -> DataFrame:
     """Distinct canonical neuron ids detected in node documents."""
     return (

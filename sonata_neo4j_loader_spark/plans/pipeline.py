@@ -99,8 +99,31 @@ def build_triples(
     neurons = sampling.sample_by_hash(neurons, "neuron_id", cfg.node_proportion, cfg.seed)
     neurons = neurons.persist()
 
-    # stage 5b: attribute triples, restricted to surviving neurons
-    attr = triples.neuron_attribute_triples(linked)
+    # stage 5b: attribute triples, restricted to surviving neurons.
+    # Pair-first shape: subject×object pairing happens INSIDE each
+    # extraction row (array cross product — the frame co-locates a doc's
+    # mentions), then both surfaces link via broadcast and the MERGE dedup
+    # is the branch's only exchange. The doc_id self-join formulation
+    # (triples.neuron_attribute_triples, kept for the streaming path)
+    # shuffles every mention row twice; this shuffles only the distinct
+    # triple set. Equality of the two shapes is pytest-pinned.
+    pairs = mentions.attribute_pairs_from_extracted(extracted)
+    pairs = linking.link_mentions(
+        pairs.withColumnRenamed("subj_surface", "surface"),
+        entities,
+        strategy=cfg.link_strategy,
+        salt_buckets=cfg.salt_buckets,
+    ).withColumnRenamed("entity_id", "subj").drop("surface", "entity_type")
+    pairs = linking.link_mentions(
+        pairs.withColumnRenamed("obj_surface", "surface"),
+        entities,
+        strategy=cfg.link_strategy,
+        salt_buckets=cfg.salt_buckets,
+    ).withColumnRenamed("entity_id", "obj").drop("surface", "entity_type")
+    if alias_edges is not None:
+        pairs = canonicalize.apply_canonical_mapping(pairs, mapping, "subj")
+        pairs = canonicalize.apply_canonical_mapping(pairs, mapping, "obj")
+    attr = triples.neuron_attribute_triples_from_pairs(pairs)
     attr = attr.join(
         F.broadcast(neurons.withColumnRenamed("neuron_id", "subj"))
         if cfg.broadcast_neurons

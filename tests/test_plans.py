@@ -215,3 +215,29 @@ def test_pagerank_materializes_edge_input_once(spark):
     # persist warms (nodes-union branches can race the cache) — the broken
     # shape (rescan per iteration) would be >= 8 * 2 = 16
     assert acc.value <= 6, acc.value
+
+
+def test_pair_first_attr_branch_single_exchange(spark):
+    # the pair-first attribute branch must shuffle exactly once (the MERGE
+    # dedup); the pairing is per-row and both link joins broadcast
+    from sonata_neo4j_loader_spark.datagen import documents as dg
+    from sonata_neo4j_loader_spark.operators import (
+        canonicalize, linking, mentions, parse, triples,
+    )
+
+    docs = dg.fixture_documents(spark)
+    parsed = parse.parse_documents(docs).where(F.col("spans_valid"))
+    ext = mentions.extract_documents(parsed)
+    mapping = canonicalize.connected_components(dg.fixture_alias_edges(spark))
+    entities = dg.fixture_entities(spark)
+    pairs = mentions.attribute_pairs_from_extracted(ext)
+    pairs = linking.link_mentions(
+        pairs.withColumnRenamed("subj_surface", "surface"), entities
+    ).withColumnRenamed("entity_id", "subj").drop("surface", "entity_type")
+    pairs = linking.link_mentions(
+        pairs.withColumnRenamed("obj_surface", "surface"), entities
+    ).withColumnRenamed("entity_id", "obj").drop("surface", "entity_type")
+    pairs = canonicalize.apply_canonical_mapping(pairs, mapping, "subj")
+    pairs = canonicalize.apply_canonical_mapping(pairs, mapping, "obj")
+    plan = _plan(triples.neuron_attribute_triples_from_pairs(pairs))
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -177,3 +177,54 @@ def test_rich_aggregates(outputs):
             assert r[f"avg_{m}"] == pytest.approx(stats[f"avg_{m}"], abs=1e-9), m
         dist = r["afferent_distribution"]
         assert dist == pytest.approx(stats["afferent_distribution"])
+
+
+def test_pair_first_attr_equals_self_join_shape(spark):
+    # the pair-first attribute branch (pairing inside the extraction row,
+    # zero-shuffle) must be row-identical to the doc_id self-join
+    # formulation on a corpus with aliases, media refs, multi-neuron docs
+    # and noise — both on fixture docs and a synthetic slice
+    from pyspark.sql import functions as F
+
+    from sonata_neo4j_loader_spark.operators import (
+        canonicalize, linking, mentions, parse, triples,
+    )
+
+    for docs, entities, aliases in [
+        (
+            dg.fixture_documents(spark),
+            dg.fixture_entities(spark),
+            dg.fixture_alias_edges(spark),
+        ),
+        (
+            dg.synthetic_documents(spark, 400, 500, 100, n_populations=4,
+                                   neurons_per_pop=50),
+            dg.synthetic_entities(spark, n_populations=4, neurons_per_pop=50),
+            dg.synthetic_alias_edges(spark, n_populations=4, neurons_per_pop=50),
+        ),
+    ]:
+        parsed = parse.parse_documents(docs).where(F.col("spans_valid"))
+        ext = mentions.extract_documents(parsed)
+        mapping = canonicalize.connected_components(aliases)
+
+        linked = canonicalize.apply_canonical_mapping(
+            linking.link_mentions(mentions.mentions_from_extracted(ext), entities),
+            mapping, "entity_id",
+        )
+        old = {(r.subj, r.pred, r.obj)
+               for r in triples.neuron_attribute_triples(linked).collect()}
+
+        pairs = mentions.attribute_pairs_from_extracted(ext)
+        pairs = linking.link_mentions(
+            pairs.withColumnRenamed("subj_surface", "surface"), entities
+        ).withColumnRenamed("entity_id", "subj").drop("surface", "entity_type")
+        pairs = linking.link_mentions(
+            pairs.withColumnRenamed("obj_surface", "surface"), entities
+        ).withColumnRenamed("entity_id", "obj").drop("surface", "entity_type")
+        pairs = canonicalize.apply_canonical_mapping(pairs, mapping, "subj")
+        pairs = canonicalize.apply_canonical_mapping(pairs, mapping, "obj")
+        new = {(r.subj, r.pred, r.obj)
+               for r in triples.neuron_attribute_triples_from_pairs(pairs).collect()}
+
+        assert new == old
+        assert len(new) > 0
