@@ -91,7 +91,15 @@ def build_triples(
             alias_edges, strategy=cfg.cc_strategy
         ).persist()
         linked = canonicalize.apply_canonical_mapping(linked, mapping, "entity_id")
-    linked = linked.persist()
+    # NOT persisted: linked is corpus-scale (one row per mention) and,
+    # since the attribute branch went pair-first, the triple path's only
+    # use of it is the dimension-sized `neurons` distinct below (itself
+    # persisted). The node outputs (node_table/node_properties) re-derive
+    # it with one extra broadcast-join pass over the compact cached
+    # extraction frame WHEN they are materialized — at 100 TB, re-reading
+    # a compact cache twice beats pinning tens of billions of wide
+    # mention rows in executor storage. Cache dimension-sized frames;
+    # recompute corpus-sized narrow derivations.
 
     # stage 5a: neuron universe + sampling / node-set restriction
     neurons = triples.known_neurons(linked)
