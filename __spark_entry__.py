@@ -36,11 +36,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_KG_OUTPUTS_CACHE: dict[int, dict] = {}
+
+
 def _kg_outputs(spark: SparkSession) -> dict:
-    docs = dg.fixture_documents(spark)
-    return pipeline.build_triples(
-        spark, docs, dg.fixture_entities(spark), dg.fixture_alias_edges(spark)
-    )
+    """Fixture-pipeline outputs, memoized per SparkSession.
+
+    Thirteen registry queries read these outputs; without the memo each
+    one rebuilds the pipeline DAG and re-persists its frames in the
+    driver's long-lived session (duplicate caches, repeated plan
+    builds). The outputs are read-only downstream, so one build per
+    session is both correct and what a user of the library would do.
+    """
+    key = id(spark)
+    if key not in _KG_OUTPUTS_CACHE:
+        docs = dg.fixture_documents(spark)
+        _KG_OUTPUTS_CACHE[key] = pipeline.build_triples(
+            spark, docs, dg.fixture_entities(spark), dg.fixture_alias_edges(spark)
+        )
+    return _KG_OUTPUTS_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
