@@ -933,6 +933,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # KG pipeline queries (fixture corpus; literal-VALUES oracles)
 # ---------------------------------------------------------------------------
 
+def kg_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-adjudicated STREAMING row: the incremental triple ingest
+    (``readStream`` + ``foreachBatch`` MERGE sink, ``availableNow``
+    trigger — streaming/incremental.py) drained over a parquet copy of
+    the fixture corpus must emit exactly the batch pipeline's
+    attribute-triple set; the oracle is the same golden VALUES list as
+    ``kg_attribute_triples``. Stream==batch equivalence moves from
+    pytest-only to a driver-checked contract row. Fresh temp dirs per
+    call, so the checkpointed stream always starts cold — deterministic.
+    """
+    import tempfile
+
+    from sonata_neo4j_loader_spark.streaming import incremental
+
+    src = tempfile.mkdtemp(prefix="kg_stream_src_")
+    sink = tempfile.mkdtemp(prefix="kg_stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="kg_stream_ckpt_")
+    dg.fixture_documents(spark).write.mode("overwrite").parquet(src)
+    incremental.start_incremental_attribute_triples(
+        spark,
+        src,
+        dg.fixture_entities(spark),
+        dg.fixture_alias_edges(spark),
+        sink,
+        ckpt,
+    )
+    return incremental.read_incremental_triples(spark, sink)
+
+
 def kg_attribute_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _kg_outputs(spark)
     return out["attribute_triples"].select("subj", "pred", "obj")
@@ -1221,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r01+r02 rows already and lose the least from being truncated).
     """
     return {
+        # --- never driver-adjudicated (new in r03: first STREAMING row) ---
+        "kg_streaming_incremental": kg_streaming_incremental,
         # --- never driver-adjudicated (no row in r01 or r02) ---
         "events_asof_signup": events_asof_signup,
         "events_range_join": events_range_join,
@@ -2153,6 +2184,8 @@ def oracle_sql() -> dict[str, str]:
             FROM meta
         """,
         "kg_attribute_triples": _kg_attr_oracle(),
+        # the stream must reproduce the batch attribute-triple set exactly
+        "kg_streaming_incremental": _kg_attr_oracle(),
         "kg_synapse_triples": _kg_syn_oracle(),
         "kg_aggregated_mtype": _kg_agg_oracle(),
         "kg_nodes": _kg_nodes_oracle(),
