@@ -36,25 +36,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-_KG_OUTPUTS_CACHE: dict[int, dict] = {}
+# single-slot memo: (session id, outputs). Keyed to ONE session at a time
+# so a driver that cycles sessions never pins dead sessions' persisted
+# frames (the old dict-per-session cache grew without eviction).
+_KG_OUTPUTS_CACHE: list = [None, None]
 
 
 def _kg_outputs(spark: SparkSession) -> dict:
-    """Fixture-pipeline outputs, memoized per SparkSession.
+    """Fixture-pipeline outputs, memoized for the CURRENT SparkSession.
 
     Thirteen registry queries read these outputs; without the memo each
     one rebuilds the pipeline DAG and re-persists its frames in the
     driver's long-lived session (duplicate caches, repeated plan
     builds). The outputs are read-only downstream, so one build per
     session is both correct and what a user of the library would do.
+    A new session evicts the previous entry (fixture-scale caches; the
+    dropped frames are released with their session). Not thread-safe by
+    design — the driver contract runs queries sequentially; concurrent
+    cold calls would merely build twice.
     """
     key = id(spark)
-    if key not in _KG_OUTPUTS_CACHE:
+    if _KG_OUTPUTS_CACHE[0] != key:
         docs = dg.fixture_documents(spark)
-        _KG_OUTPUTS_CACHE[key] = pipeline.build_triples(
-            spark, docs, dg.fixture_entities(spark), dg.fixture_alias_edges(spark)
-        )
-    return _KG_OUTPUTS_CACHE[key]
+        _KG_OUTPUTS_CACHE[:] = [
+            key,
+            pipeline.build_triples(
+                spark, docs, dg.fixture_entities(spark), dg.fixture_alias_edges(spark)
+            ),
+        ]
+    return _KG_OUTPUTS_CACHE[1]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -947,18 +957,27 @@ def kg_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sonata_neo4j_loader_spark.streaming import incremental
 
+    import shutil
+
     src = tempfile.mkdtemp(prefix="kg_stream_src_")
     sink = tempfile.mkdtemp(prefix="kg_stream_sink_")
     ckpt = tempfile.mkdtemp(prefix="kg_stream_ckpt_")
-    dg.fixture_documents(spark).write.mode("overwrite").parquet(src)
-    incremental.start_incremental_attribute_triples(
-        spark,
-        src,
-        dg.fixture_entities(spark),
-        dg.fixture_alias_edges(spark),
-        sink,
-        ckpt,
-    )
+    try:
+        dg.fixture_documents(spark).write.mode("overwrite").parquet(src)
+        incremental.start_incremental_attribute_triples(
+            spark,
+            src,
+            dg.fixture_entities(spark),
+            dg.fixture_alias_edges(spark),
+            sink,
+            ckpt,
+        )
+    finally:
+        # the drained stream is done: source copy and checkpoint are dead
+        # weight. The SINK must survive — the returned frame reads it
+        # lazily when the driver collects.
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return incremental.read_incremental_triples(spark, sink)
 
 

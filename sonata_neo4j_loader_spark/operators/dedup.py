@@ -124,6 +124,42 @@ def minhash_signature(
     )
 
 
+def drop_hot_buckets(
+    df: DataFrame,
+    keys: list[str],
+    max_bucket_size: int | None,
+    label: str,
+) -> DataFrame:
+    """THE hot-bucket bound, shared by every banded candidate generator
+    (MinHash-LSH bands, SimHash chunks, embedding-LSH bands).
+
+    A bucket holding p members yields p² join rows on one shuffle key, so
+    web scale needs buckets bounded. Keep only keys with 2..max members:
+    singletons can't pair and over-full buckets are degenerate content
+    whose true near-dups usually also share a smaller bucket. Window-free
+    (aggregate-then-left-semi-join) so the bound itself shuffles only the
+    dimension-sized bucket-key set. ``max_bucket_size=None`` disables the
+    bound entirely (exact small-scale mode — what the DuckDB brute-force
+    oracles reproduce). NOT silent: opt-out parameter, plan-build log
+    line, skew-fixture pytests.
+    """
+    if max_bucket_size is None:
+        return df
+    _LOG.info(
+        "%s: dropping buckets larger than %d members "
+        "(recall bound; pass max_bucket_size=None for exact)",
+        label,
+        max_bucket_size,
+    )
+    small = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
+        .select(*keys)
+    )
+    return df.join(small, keys, "left_semi")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -132,7 +168,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
-    max_bucket_size: int = 1000,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -190,14 +226,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
-    # bucket-size bound without a window: aggregate then semi-join
-    small_buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
-        .select("band", "bucket")
+    bounded = drop_hot_buckets(
+        banded, ["band", "bucket"], max_bucket_size, "minhash_lsh_candidates"
     )
-    bounded = banded.join(small_buckets, ["band", "bucket"], "left_semi")
     a = bounded.select("band", "bucket", F.col("_id").alias("id_a"))
     b = bounded.select("band", "bucket", F.col("_id").alias("id_b"))
     return (
@@ -364,19 +395,9 @@ def simhash_near_duplicates(
             )
         ).alias("cb"),
     ).select("_id", "sh", "cb.chunk", "cb.val")
-    if max_bucket_size is not None:
-        _LOG.info(
-            "simhash_near_duplicates: dropping (chunk,val) buckets larger "
-            "than %d docs (recall bound; pass max_bucket_size=None for exact)",
-            max_bucket_size,
-        )
-        small_buckets = (
-            chunked.groupBy("chunk", "val")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
-            .select("chunk", "val")
-        )
-        chunked = chunked.join(small_buckets, ["chunk", "val"], "left_semi")
+    chunked = drop_hot_buckets(
+        chunked, ["chunk", "val"], max_bucket_size, "simhash_near_duplicates"
+    )
     a = chunked.select("chunk", "val", F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = chunked.select("chunk", "val", F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (

@@ -252,6 +252,19 @@ def extract_documents(parsed: DataFrame, impl: str = "arrow") -> DataFrame:
     raise ValueError(f"unknown impl: {impl}")
 
 
+def _all_mentions_expr() -> F.Column:
+    """Entity mentions ∪ media refs (as kind='media' structs) — the ONE
+    definition of "all mentions of a document", shared by the explode
+    path (:func:`mentions_from_extracted`) and the pair-first attribute
+    path (:func:`attribute_pairs_from_extracted`) so the two can never
+    silently diverge on media/null handling."""
+    media_as_mentions = F.transform(
+        F.coalesce("media_refs", F.array().cast("array<string>")),
+        lambda r: F.struct(F.lit("media").alias("kind"), r.alias("surface")),
+    )
+    return F.concat(F.coalesce("mentions", F.array()), media_as_mentions)
+
+
 def mentions_from_extracted(extracted: DataFrame) -> DataFrame:
     """(doc_id, kind, surface) rows from the compact extraction frame.
 
@@ -259,15 +272,9 @@ def mentions_from_extracted(extracted: DataFrame) -> DataFrame:
     concat + one explode, so the extraction frame is scanned once (a
     union of two selects would read it twice, recomputing the UDFs when
     the frame isn't persisted)."""
-    media_as_mentions = F.transform(
-        F.coalesce("media_refs", F.array().cast("array<string>")),
-        lambda r: F.struct(F.lit("media").alias("kind"), r.alias("surface")),
-    )
     return extracted.select(
         "doc_id",
-        F.explode(
-            F.concat(F.coalesce("mentions", F.array()), media_as_mentions)
-        ).alias("m"),
+        F.explode(_all_mentions_expr()).alias("m"),
     ).select("doc_id", F.col("m.kind").alias("kind"), F.col("m.surface").alias("surface"))
 
 
@@ -287,11 +294,7 @@ def attribute_pairs_from_extracted(extracted: DataFrame) -> DataFrame:
     removed shuffle is corpus-scale; this one is the difference between
     shuffling every mention row and shuffling the distinct triple set.
     """
-    media_as_mentions = F.transform(
-        F.coalesce("media_refs", F.array().cast("array<string>")),
-        lambda r: F.struct(F.lit("media").alias("kind"), r.alias("surface")),
-    )
-    all_m = F.concat(F.coalesce("mentions", F.array()), media_as_mentions)
+    all_m = _all_mentions_expr()
     subs = F.filter(all_m, lambda m: m["kind"] == F.lit("neuron"))
     objs = F.filter(all_m, lambda m: m["kind"] != F.lit("neuron"))
     pairs = F.flatten(

@@ -64,7 +64,12 @@ def parse_documents(docs: DataFrame) -> DataFrame:
         "   AS media_refs"
         "))[0]"
     )
-    other_cols = [c for c in docs.columns if c != "spans"]
+    # exclude every column this function (re)derives, not just `spans`:
+    # the old withColumn chain REPLACED pre-existing derived columns, so
+    # re-parsing an already-parsed frame was idempotent — the select
+    # rewrite must not emit duplicates (AMBIGUOUS_REFERENCE downstream)
+    _derived = {"spans", "span_fingerprint", "spans_valid", "doc_text", "media_refs"}
+    other_cols = [c for c in docs.columns if c not in _derived]
     # span_fingerprint stays an INDEPENDENT column (not a struct member):
     # nothing in the pipeline reads it (the audit recomputes fingerprints
     # from `spans`), so keeping it separate lets Catalyst prune its

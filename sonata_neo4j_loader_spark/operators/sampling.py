@@ -85,16 +85,20 @@ def sample_exact_fraction(
     ≙ ``int(total * proportion)`` in the reference (data_extraction.py:119).
     Needs one counting pass (the reference pays the same: ``total`` comes
     from the edge population size) + one TakeOrdered pass. The input is
-    eagerly localCheckpoint-ed first so both passes see the SAME
-    materialized rows — without it an expensive or nondeterministic
-    upstream lineage could make k inconsistent with the sampled population
-    (same discipline as the pagerank/connected-components loops).
+    ``persist()``-ed across the two passes so they see the SAME rows
+    without expensive-lineage recompute; persist (not an eager
+    localCheckpoint) keeps the lineage intact, so an executor loss
+    recomputes instead of failing the job, and nothing materializes
+    until the caller actually acts on the result. Caveat: a truly
+    NONDETERMINISTIC upstream could still diverge if a cached partition
+    is evicted and recomputed — such inputs should be checkpointed by
+    the caller first (the library's own sources are deterministic).
     """
     if proportion >= 1.0:
         return df
     if proportion <= 0.0:
         return df.where(F.lit(False))
-    df = df.localCheckpoint(eager=True)
+    df = df.persist()
     k = int(df.count() * proportion)
     return sample_exact_k(df, k, key_col, seed)
 

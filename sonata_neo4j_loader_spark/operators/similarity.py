@@ -19,6 +19,8 @@ import logging
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import drop_hot_buckets
+
 _LOG = logging.getLogger(__name__)
 
 
@@ -381,20 +383,9 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("vec"),
         F.explode(band_structs(F.col(vec_col))).alias("bb"),
     ).select("_id", "vec", "bb.band", "bb.bucket")
-    if max_bucket_size is not None:
-        _LOG.info(
-            "embedding_near_duplicates: dropping (band,bucket) buckets "
-            "larger than %d vectors (recall bound; max_bucket_size=None "
-            "for exact)",
-            max_bucket_size,
-        )
-        small_buckets = (
-            e.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
-            .select("band", "bucket")
-        )
-        e = e.join(small_buckets, ["band", "bucket"], "left_semi")
+    e = drop_hot_buckets(
+        e, ["band", "bucket"], max_bucket_size, "embedding_near_duplicates"
+    )
     a = e.select("band", "bucket", F.col("_id").alias("id_a"), F.col("vec").alias("vec_a"))
     b = e.select("band", "bucket", F.col("_id").alias("id_b"), F.col("vec").alias("vec_b"))
     return (

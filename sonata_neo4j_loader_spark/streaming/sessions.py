@@ -207,13 +207,21 @@ def _delay_seconds(delay: str) -> float:
         )
     total = 0.0
     for n, unit in zip(toks[::2], toks[1::2]):
+        # exact singular or plural only: rstrip('s') would also accept
+        # spellings Spark rejects ('minutess') — fail here, not at
+        # stream start
+        base = unit[:-1] if unit.endswith("s") and unit[:-1] in _DELAY_UNITS else unit
         try:
-            total += float(n) * _DELAY_UNITS[unit.rstrip("s")]
-        except (ValueError, KeyError):
+            value = float(n)
+        except ValueError:
+            value = float("nan")
+        if base not in _DELAY_UNITS or not value >= 0:
             raise ValueError(
                 f"unsupported watermark delay {delay!r}: bad pair "
-                f"({n!r}, {unit!r}); units are {sorted(_DELAY_UNITS)}"
-            ) from None
+                f"({n!r}, {unit!r}); units are {sorted(_DELAY_UNITS)} "
+                "(optionally plural) and values must be non-negative"
+            )
+        total += value * _DELAY_UNITS[base]
     return total
 
 

@@ -47,3 +47,17 @@ def test_malformed_docs_quarantined(spark, malformed):
     # ...and the audit names exactly the quarantined docs
     flagged = {r.doc_id for r in out["invariant_violations"].collect()}
     assert flagged == {"bad-dup-offsets", "bad-gap-offsets", "bad-one-based", "bad-empty"}
+
+
+def test_parse_documents_idempotent_on_parsed_frame(spark):
+    # re-parsing an already-parsed frame must replace the derived columns
+    # (withColumn semantics), not emit ambiguous duplicates
+    from sonata_neo4j_loader_spark.datagen import documents as dg
+    from sonata_neo4j_loader_spark.operators import parse
+
+    once = parse.parse_documents(dg.fixture_documents(spark))
+    twice = parse.parse_documents(once)
+    assert sorted(twice.columns) == sorted(once.columns)
+    a = {r.doc_id: r.doc_text for r in once.collect()}
+    b = {r.doc_id: r.doc_text for r in twice.collect()}
+    assert a == b

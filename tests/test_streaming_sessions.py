@@ -166,3 +166,11 @@ def test_delay_seconds_parses_spark_interval_forms():
         S._delay_seconds("10 fortnights")
     with _pytest.raises(ValueError, match="unsupported watermark delay"):
         S._delay_seconds("minutes")
+
+
+def test_delay_seconds_rejects_bad_spellings_and_negatives():
+    import pytest as _pytest
+
+    for bad in ("10 minutess", "-10 minutes", "nan minutes"):
+        with _pytest.raises(ValueError, match="unsupported watermark delay"):
+            S._delay_seconds(bad)
