@@ -36,6 +36,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _sink_dir(prefix: str) -> str:
+    """Temp dir for a drained-stream sink, reaped at process exit.
+
+    The sink must outlive the query call (the returned DataFrame reads it
+    lazily when the driver collects), so it cannot be removed in the
+    query's own ``finally`` — atexit is the earliest safe point.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+# per-query single-slot memo: query name -> (session id, sink path). A
+# long-lived driver session re-running a streaming contract query reuses
+# the already-drained sink instead of growing a fresh temp dir + checkpoint
+# per call; a new session re-drains (fresh dirs, cold checkpoint) and the
+# stale sink is reaped by the atexit hook above.
+_STREAM_SINK_CACHE: dict[str, tuple[int, str]] = {}
+
+
+def _drained_sink(spark: SparkSession, name: str, drain: Callable[[str], None]) -> str:
+    """Memoized drain-to-parquet: run ``drain(sink_dir)`` once per session."""
+    cached = _STREAM_SINK_CACHE.get(name)
+    if cached is not None and cached[0] == id(spark):
+        return cached[1]
+    sink = _sink_dir(f"{name}_sink_")
+    drain(sink)
+    _STREAM_SINK_CACHE[name] = (id(spark), sink)
+    return sink
+
+
 # single-slot memo: (session id, outputs). Keyed to ONE session at a time
 # so a driver that cycles sessions never pins dead sessions' persisted
 # frames (the old dict-per-session cache grew without eviction).
@@ -950,34 +985,36 @@ def kg_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture corpus must emit exactly the batch pipeline's
     attribute-triple set; the oracle is the same golden VALUES list as
     ``kg_attribute_triples``. Stream==batch equivalence moves from
-    pytest-only to a driver-checked contract row. Fresh temp dirs per
-    call, so the checkpointed stream always starts cold — deterministic.
+    pytest-only to a driver-checked contract row. The drain runs once per
+    session (``_drained_sink`` memo); fresh dirs on a new session, so the
+    checkpointed stream always starts cold — deterministic.
     """
+    import shutil
     import tempfile
 
     from sonata_neo4j_loader_spark.streaming import incremental
 
-    import shutil
+    def drain(sink: str) -> None:
+        src = tempfile.mkdtemp(prefix="kg_stream_src_")
+        ckpt = tempfile.mkdtemp(prefix="kg_stream_ckpt_")
+        try:
+            dg.fixture_documents(spark).write.mode("overwrite").parquet(src)
+            incremental.start_incremental_attribute_triples(
+                spark,
+                src,
+                dg.fixture_entities(spark),
+                dg.fixture_alias_edges(spark),
+                sink,
+                ckpt,
+            )
+        finally:
+            # the drained stream is done: source copy and checkpoint are
+            # dead weight. The SINK survives until process exit — the
+            # returned frame reads it lazily when the driver collects.
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
 
-    src = tempfile.mkdtemp(prefix="kg_stream_src_")
-    sink = tempfile.mkdtemp(prefix="kg_stream_sink_")
-    ckpt = tempfile.mkdtemp(prefix="kg_stream_ckpt_")
-    try:
-        dg.fixture_documents(spark).write.mode("overwrite").parquet(src)
-        incremental.start_incremental_attribute_triples(
-            spark,
-            src,
-            dg.fixture_entities(spark),
-            dg.fixture_alias_edges(spark),
-            sink,
-            ckpt,
-        )
-    finally:
-        # the drained stream is done: source copy and checkpoint are dead
-        # weight. The SINK must survive — the returned frame reads it
-        # lazily when the driver collects.
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
+    sink = _drained_sink(spark, "kg_streaming_incremental", drain)
     return incremental.read_incremental_triples(spark, sink)
 
 

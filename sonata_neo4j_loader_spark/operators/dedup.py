@@ -37,10 +37,21 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     CPU-bound, so one task would serialize the whole job. Hash-partition on
     the id so results stay deterministic. No-op when the input already has
     enough parallelism (the 10^12-doc case).
+
+    The partition-count probe (``df.rdd.getNumPartitions()`` — there is no
+    DataFrame-level equivalent) forces a driver-side plan conversion, so it
+    only runs when the input *could* be under-partitioned: a local relation
+    (createDataFrame fixtures) or a file scan with at most
+    ``defaultParallelism`` files. A 10^12-row scan has thousands of input
+    files and skips the probe entirely — the scan's ``maxPartitionBytes``
+    splits already provide the parallelism, and an unconditional
+    repartition would add a corpus-wide shuffle of raw text.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key)
+    files = df.inputFiles()
+    if df.isLocal() or (len(files) <= target):
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target, key)
     return df
 
 
@@ -374,6 +385,13 @@ def simhash_near_duplicates(
     bound (exact small-scale mode — what the DuckDB oracle reproduces).
     NOT silent: dropping changes recall, so it is opt-out-able, logged at
     plan-build time, and the pytest skew fixture pins the behavior.
+
+    .. versionchanged:: round 3
+       ``max_bucket_size`` defaults to 1000, not None: callers relying on
+       the earlier unbounded behavior (clusters over 1000 members keep all
+       internal pairs) must now pass ``max_bucket_size=None`` explicitly.
+       The bound is the web-scale-safe product default; unbounded is the
+       oracle-matching fixture mode.
     """
     sh = add_shingles(
         _spread(df.select(F.col(id_col).alias("_id"), text_col), "_id"),

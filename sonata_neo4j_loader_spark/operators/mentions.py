@@ -293,6 +293,16 @@ def attribute_pairs_from_extracted(extracted: DataFrame) -> DataFrame:
     exchange — and it map-side-combines to dimension size. At 100 TB the
     removed shuffle is corpus-scale; this one is the difference between
     shuffling every mention row and shuffling the distinct triple set.
+
+    ASSUMES ``doc_id`` uniquely identifies an extraction row. Pairing here
+    is per ROW, while ``triples.neuron_attribute_triples`` pairs per
+    ``doc_id`` — if a corpus carried duplicate doc_id rows, the self-join
+    form would also produce cross-ROW pairs within the id and the two
+    paths would diverge. ``parse.parse_documents`` preserves input
+    cardinality, so uniqueness holds whenever the source corpus is keyed
+    by doc_id (all engine sources are); corpora that are not must be
+    exact-deduped first (operators/dedup.py). The arrow-vs-native equality
+    suite covers unique-id corpora only, deliberately.
     """
     all_m = _all_mentions_expr()
     subs = F.filter(all_m, lambda m: m["kind"] == F.lit("neuron"))

@@ -84,22 +84,22 @@ def sample_exact_fraction(
 
     ≙ ``int(total * proportion)`` in the reference (data_extraction.py:119).
     Needs one counting pass (the reference pays the same: ``total`` comes
-    from the edge population size) + one TakeOrdered pass. The input is
-    ``persist()``-ed across the two passes so they see the SAME rows
-    without expensive-lineage recompute; persist (not an eager
-    localCheckpoint) keeps the lineage intact, so an executor loss
-    recomputes instead of failing the job, and nothing materializes
-    until the caller actually acts on the result. Caveat: a truly
-    NONDETERMINISTIC upstream could still diverge if a cached partition
-    is evicted and recomputed — such inputs should be checkpointed by
-    the caller first (the library's own sources are deterministic).
+    from the edge population size) + one TakeOrdered pass. The counting
+    pass runs on a key-only projection, so Catalyst prunes it down to a
+    parquet-metadata count when the input is a plain scan — cheaper than
+    caching the full rows, and no retained ``persist()`` on a frame the
+    caller owns (a long-lived session would otherwise leak one cached
+    frame per call). Caveat: the two passes re-evaluate the input's
+    lineage, so a truly NONDETERMINISTIC upstream could yield a ``k``
+    computed from different rows than the sample pass sees — such inputs
+    should be persisted/checkpointed by the caller first (the library's
+    own sources are deterministic).
     """
     if proportion >= 1.0:
         return df
     if proportion <= 0.0:
         return df.where(F.lit(False))
-    df = df.persist()
-    k = int(df.count() * proportion)
+    k = int(df.select(key_col).count() * proportion)
     return sample_exact_k(df, k, key_col, seed)
 
 

@@ -363,6 +363,13 @@ def embedding_near_duplicates(
     ``max_bucket_size=None`` disables the bound (exact small-scale mode,
     what the DuckDB brute-force oracle reproduces). NOT silent: opt-out
     parameter, plan-build log line, skew-fixture pytest.
+
+    .. versionchanged:: round 3
+       ``max_bucket_size`` defaults to 1000, not None: callers relying on
+       the earlier unbounded behavior (clusters over 1000 members keep all
+       internal pairs) must now pass ``max_bucket_size=None`` explicitly.
+       The bound is the web-scale-safe product default; unbounded is the
+       oracle-matching fixture mode.
     """
     def band_structs(vec: Column) -> Column:
         bits = lsh_bucket_bits(vec, n_planes, dim, seed)

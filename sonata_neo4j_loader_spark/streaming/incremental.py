@@ -68,13 +68,20 @@ def start_incremental_attribute_triples(
         )
         attr.write.mode("append").parquet(output_dir)
 
-    query = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    try:
+        query = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        # the sink is parquet on disk; nothing downstream reads through the
+        # cached mapping, so holding it past the drain would leak one cached
+        # frame per call in a long-lived session
+        if mapping is not None:
+            mapping.unpersist()
     return query
 
 

@@ -58,3 +58,22 @@ def test_incremental_two_drops_then_noop(spark, golden_attr, tmp_path):
     # no new files -> nothing appended (exactly-once progress via checkpoint)
     inc.start_incremental_attribute_triples(spark, corpus, entities, aliases, sink, ckpt)
     assert spark.read.parquet(sink).count() == n2
+
+
+def test_incremental_drain_leaves_no_lingering_cache(spark, tmp_path):
+    """The canonical-mapping cache is released after the drain: repeated
+    calls in a long-lived session must not grow the persisted-RDD set."""
+    corpus = str(tmp_path / "docs")
+    sink = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+    dg.fixture_documents(spark).write.mode("append").parquet(corpus)
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    inc.start_incremental_attribute_triples(
+        spark, corpus, dg.fixture_entities(spark), dg.fixture_alias_edges(spark),
+        sink, ckpt,
+    )
+    assert n_persistent() == before
