@@ -1221,6 +1221,253 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("signup_event").agg(F.count(F.lit(1)).alias("n_clicks"))
 
 
+def events_asof_signup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-PROOF as-of variant (operators/temporal.py
+    ``asof_join_bucketed``: per-(key, time-bucket) windows + seed carry)
+    on the same inputs as ``events_asof_signup`` — proven output-identical
+    to the plain form, so it reuses the DuckDB ``ASOF LEFT JOIN`` oracle
+    verbatim. 6-hour buckets over the 30-day range force ~120 buckets per
+    key, exercising both the empty-bucket seed carry and the in-bucket
+    carry."""
+    from sonata_neo4j_loader_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("ts").alias("signup_ts"))
+        .agg(F.max("event_id").alias("signup_event"))
+    )
+    out = temporal.asof_join_bucketed(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="signup_ts",
+        right_payload=["signup_event"],
+        bucket_seconds=6 * 3600,
+    )
+    return out.select("event_id", "user_id", "ts", "asof_ts", "signup_event")
+
+
+def events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-adjudicated STATEFUL-STREAMING row: the
+    ``applyInPandasWithState`` gap sessionizer (streaming/sessions.py)
+    drained over the events table must emit exactly the batch
+    ``events_sessions`` result — same oracle SQL. A far-future sentinel
+    event per user closes every real session inside the drain (sessions
+    starting at the sentinel timestamp are filtered out); ``session_id``
+    is restored as the per-user rank of ``session_start``, which equals
+    the batch running-sum id because session starts strictly increase.
+    Timestamps round-trip NTZ→LTZ→NTZ through the stream in one session,
+    so the values are exact."""
+    from sonata_neo4j_loader_spark.streaming import sessions as streaming_sessions
+
+    sentinel_ts = "2024-12-01 00:00:00"
+
+    def drain(sink: str) -> None:
+        import shutil
+        import tempfile
+
+        src = tempfile.mkdtemp(prefix="events_sessions_src_")
+        ckpt = tempfile.mkdtemp(prefix="events_sessions_ckpt_")
+        try:
+            ev = _t(spark, sf_dir, "events").select(
+                F.col("ts").cast("timestamp").alias("event_time"),
+                "user_id",
+                "value",
+            )
+            sentinels = (
+                ev.select("user_id")
+                .distinct()
+                .select(
+                    F.lit(sentinel_ts).cast("timestamp").alias("event_time"),
+                    "user_id",
+                    F.lit(0.0).alias("value"),
+                )
+            )
+            ev.unionByName(sentinels).write.mode("overwrite").parquet(src)
+            streaming_sessions.run_sessions_to_parquet(
+                spark, src, sink, ckpt,
+                gap_seconds=1800.0, watermark_delay="0 seconds",
+            )
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    sink = _drained_sink(spark, "events_sessions_streamed", drain)
+    sess = spark.read.parquet(sink).where(
+        F.col("session_start") < F.lit(sentinel_ts).cast("timestamp")
+    )
+    order_w = Window.partitionBy("user_id").orderBy("session_start")
+    return sess.select(
+        "user_id",
+        F.row_number().over(order_w).cast("bigint").alias("session_id"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def spike_windows_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-adjudicated WATERMARKED-WINDOW row: the tumbling event-time
+    spike-rate stream (streaming/windows.py) drained over click events
+    must equal the batch 10-minute bucketing the DuckDB ``time_bucket``
+    oracle computes (both engines align buckets to the epoch). A
+    far-future sentinel spike (neuron −1, filtered out) pushes the final
+    watermark past every real window so append mode finalizes them all
+    within one ``availableNow`` drain."""
+    from sonata_neo4j_loader_spark.streaming import windows as streaming_windows
+
+    def drain(sink: str) -> None:
+        import shutil
+        import tempfile
+
+        src = tempfile.mkdtemp(prefix="spike_windows_src_")
+        ckpt = tempfile.mkdtemp(prefix="spike_windows_ckpt_")
+        try:
+            clicks = (
+                _t(spark, sf_dir, "events")
+                .where(F.col("event_type") == "click")
+                .select(
+                    F.col("ts").cast("timestamp").alias("event_time"),
+                    F.col("user_id").alias("neuron_id"),
+                )
+            )
+            sentinel = spark.range(1).select(
+                F.lit("2024-12-01 00:00:07").cast("timestamp").alias("event_time"),
+                F.lit(-1).cast("bigint").alias("neuron_id"),
+            )
+            clicks.unionByName(sentinel).write.mode("overwrite").parquet(src)
+            streaming_windows.run_spike_rate_to_parquet(
+                spark, src, sink, ckpt,
+                window_duration="10 minutes", watermark_delay="0 seconds",
+            )
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    sink = _drained_sink(spark, "spike_windows_streamed", drain)
+    return (
+        spark.read.parquet(sink)
+        .where(F.col("neuron_id") >= 0)
+        .select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+            "neuron_id",
+            "n_spikes",
+        )
+    )
+
+
+def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-adjudicated STREAMING-DEDUP row: a doubled copy of the
+    events table (every delivery redelivered once — the at-least-once
+    source model) drained through ``dropDuplicatesWithinWatermark``
+    (streaming/dedup.py) must come out exactly once per delivery key.
+    Duplicates arrive at the same event time, i.e. well inside the
+    watermark delay, so the always-dropped guarantee applies and the
+    result equals the distinct input set — the oracle is a plain SELECT
+    over events."""
+    from sonata_neo4j_loader_spark.streaming import dedup as streaming_dedup
+
+    def drain(sink: str) -> None:
+        import shutil
+        import tempfile
+
+        src = tempfile.mkdtemp(prefix="events_dedup_src_")
+        ckpt = tempfile.mkdtemp(prefix="events_dedup_ckpt_")
+        try:
+            deliveries = _t(spark, sf_dir, "events").select(
+                F.col("ts").cast("timestamp").alias("event_time"),
+                F.col("event_id").cast("string").alias("delivery_key"),
+                F.col("event_type").alias("payload"),
+            )
+            deliveries.unionByName(deliveries).write.mode("overwrite").parquet(src)
+            streaming_dedup.run_dedup_to_parquet(
+                spark, src, sink, ckpt, watermark_delay="10 minutes"
+            )
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    sink = _drained_sink(spark, "events_dedup_streamed", drain)
+    return spark.read.parquet(sink).select(
+        F.col("event_time").cast("timestamp_ntz").alias("event_time"),
+        "delivery_key",
+        "payload",
+    )
+
+
+def populations_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-schema population union (operators/populations.py ≙ the
+    reference's per-population ``pd.concat`` with NaN fill,
+    data_extraction.py:73): two fixture population frames with divergent
+    attribute sets — one carrying a float32 column — union into the
+    column superset with null fill and float64 widening. VALUES oracle."""
+    from sonata_neo4j_loader_spark.operators import populations
+    from pyspark.sql import types as T
+
+    schema_a = T.StructType(
+        [
+            T.StructField("neuron_id", T.LongType()),
+            T.StructField("mtype", T.StringType()),
+            T.StructField("soma_x", T.FloatType()),
+        ]
+    )
+    schema_b = T.StructType(
+        [
+            T.StructField("neuron_id", T.LongType()),
+            T.StructField("etype", T.StringType()),
+        ]
+    )
+    pop_a = spark.createDataFrame(
+        [(0, "L4_PC", 1.5), (1, "L5_TPC", 2.25)], schema_a
+    )
+    pop_b = spark.createDataFrame([(2, "bAC"), (3, "cADpyr")], schema_b)
+    return populations.union_population_frames([pop_a, pop_b])
+
+
+def campaign_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Campaign config scan + spike-TSV grid read (sources/spikes.py
+    ``load_campaign_config`` + ``read_spike_grid`` ≙ reference
+    base_simulation_loader.py:33-63): a deterministic 2×2
+    amplitude×frequency campaign is synthesized on disk, the flattened
+    grid index is unflattened into coordinates, each cell's ``out.dat``
+    TSV is read with the 1→0 neuron-id shift, and the frames union with
+    the coords as constant columns. VALUES oracle over the synthesized
+    spikes."""
+    import json
+    import os
+
+    def write_campaign(base: str) -> None:
+        data = {}
+        for i in range(4):
+            cell = f"c{i}"
+            os.makedirs(os.path.join(base, cell), exist_ok=True)
+            with open(os.path.join(base, cell, "out.dat"), "w") as f:
+                f.write("spike_time\tneuron_id\n")
+                for j in range(3):
+                    f.write(f"{10.0 * i + j + 0.25}\t{j + 1}\n")
+            data[str(i)] = cell
+        cfg = {
+            "attrs": {"target": "Mosaic_A"},
+            "coords": {"amplitude": [0.5, 1.0], "frequency": [10.0, 20.0]},
+            "data": data,
+        }
+        with open(os.path.join(base, "config.json"), "w") as f:
+            json.dump(cfg, f)
+
+    # the grid read is lazy (the driver collects later), so the synthesized
+    # campaign dir must outlive this call — same atexit-reaped lifecycle as
+    # the streaming sinks
+    base = _drained_sink(spark, "campaign_grid", write_campaign)
+    campaign = sp.load_campaign_config(os.path.join(base, "config.json"))
+    grid = sp.read_spike_grid(spark, campaign["cells"])
+    return grid.select("spike_time", "neuron_id", "amplitude", "frequency")
+
+
 def kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In/out degree per neuron over the SYNAPSES_ONTO multiset (parallel
     edges count — CREATE semantics). Oracle: independent Python count over
@@ -1296,74 +1543,34 @@ def kg_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-contract registry.
 
-    ORDERING MATTERS: the round-2 driver adjudicated exactly the first 50
-    registry entries (CORRECTNESS_r02.json has 50 rows for a 68-query
-    registry), so queries are ordered by verification debt — first the 11
-    queries that have never had a driver row, then the reshaped
-    span-invariant audit, then the 7 queries last green in r01 whose
-    lineage was refactored in r02, then the r02-green set with the
-    cheapest, longest-green TPC-H queries at the tail (they have matching
-    r01+r02 rows already and lose the least from being truncated).
+    ROTATION POLICY (the driver adjudicates exactly the FIRST 50 entries
+    of this dict, CORRECTNESS_r02/r03): every query's green driver row
+    must stay ≤2 rounds old. Order each round as
+
+    1. queries NEW or CODE-CHANGED this round (must be re-adjudicated);
+    2. queries whose last green row is OLDEST (longest-stale first —
+       this round: the 19 TPC-H queries last adjudicated in r02);
+    3. last-round-green queries fill the remaining slots; the ~25 that
+       overflow past position 50 ride on their fresh row and LEAD the
+       next round's group 2.
+
+    With a 75-query registry and a 50-row window, the rotation
+    re-certifies every query at least every other round.
     """
     return {
-        # --- never driver-adjudicated (new in r03: first STREAMING row) ---
-        "kg_streaming_incremental": kg_streaming_incremental,
-        # --- never driver-adjudicated (no row in r01 or r02) ---
-        "events_asof_signup": events_asof_signup,
-        "events_range_join": events_range_join,
-        "events_percentiles": events_percentiles,
-        "events_pivot": events_pivot,
-        "events_cube": events_cube,
-        "users_click_and_error": users_click_and_error,
-        "kg_degrees": kg_degrees,
-        "kg_pagerank": kg_pagerank,
-        "kg_node_properties": kg_node_properties,
-        "kg_population_properties": kg_population_properties,
-        "spiked_edges": spiked_edges,
-        # --- was no_oracle in r02; reshaped to an aggregate with an oracle ---
-        "kg_span_invariant": kg_span_invariant,
-        # --- green in r01 only; lineage refactored in r02 (fc9ccff, 157a9f6) ---
-        "kg_nodes": kg_nodes,
-        "kg_canonical_map": kg_canonical_map,
-        "kg_edge_population_parse": kg_edge_population_parse,
-        "kg_population_size": kg_population_size,
-        "kg_rich_aggregated_mtype": kg_rich_aggregated_mtype,
-        "spike_has_spike_triples": spike_has_spike_triples,
-        "spike_rate_by_neuron": spike_rate_by_neuron,
-        # --- r02-green: kg/doc pipeline core ---
-        "kg_attribute_triples": kg_attribute_triples,
-        "kg_synapse_triples": kg_synapse_triples,
-        "kg_aggregated_mtype": kg_aggregated_mtype,
-        "kg_dynamic_labels": kg_dynamic_labels,
-        # --- r02-green: LLM-pipeline operators ---
-        "corpus_prep_survivors": corpus_prep_survivors,
-        "dedup_exact_groups": dedup_exact_groups,
-        "minhash_near_dups": minhash_near_dups,
-        "simhash_near_dups": simhash_near_dups,
+        # --- group 1: NEW this round (streaming/bucketed/union/campaign
+        # contract rows) ---
+        "events_sessions_streamed": events_sessions_streamed,
+        "spike_windows_streamed": spike_windows_streamed,
+        "events_dedup_streamed": events_dedup_streamed,
+        "events_asof_signup_bucketed": events_asof_signup_bucketed,
+        "populations_union": populations_union,
+        "campaign_grid": campaign_grid,
+        # --- group 1: code changed this round (prefix-filtered posting
+        # index; shared shingle frame) ---
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
-        "embedding_near_dups": embedding_near_dups,
-        "ann_brute_topk": ann_brute_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "multimodal_features": multimodal_features,
-        "text_stats": text_stats,
-        "doc_fingerprints": doc_fingerprints,
-        "lang_distribution": lang_distribution,
-        "sampled_docs_hash": sampled_docs_hash,
-        "sampled_docs_exact_k": sampled_docs_exact_k,
-        # --- r02-green: events / relational ---
-        "events_hourly_rollup": events_hourly_rollup,
-        "events_sessions": events_sessions,
-        "events_json_props": events_json_props,
-        "events_type_rollup": events_type_rollup,
-        "top_orders_per_customer": top_orders_per_customer,
-        "customers_with_orders": customers_with_orders,
-        "customers_without_orders": customers_without_orders,
-        "nations_customers_and_suppliers": nations_customers_and_suppliers,
-        "nations_customers_only": nations_customers_only,
-        # --- r02-green TPC-H tail (doubly adjudicated r01+r02) ---
-        "q1_pricing_summary": q1_pricing_summary,
-        "q2_min_price_supplier": q2_min_price_supplier,
+        "minhash_near_dups": minhash_near_dups,
+        # --- group 2: last green in r02 (stale) — TPC-H q3..q22 ---
         "q3_unshipped_orders": q3_unshipped_orders,
         "q4_order_priority": q4_order_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -1383,6 +1590,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_bulk_suppliers": q20_bulk_suppliers,
         "q21_late_sole_suppliers": q21_late_sole_suppliers,
         "q22_dormant_rich_customers": q22_dormant_rich_customers,
+        # --- group 3: r03-green fill (positions ~28-50) — biased toward
+        # queries touching code edited this round (streaming sink memo,
+        # _spread, bucket bounds) ---
+        "kg_streaming_incremental": kg_streaming_incremental,
+        "simhash_near_dups": simhash_near_dups,
+        "embedding_near_dups": embedding_near_dups,
+        "corpus_prep_survivors": corpus_prep_survivors,
+        "dedup_exact_groups": dedup_exact_groups,
+        "sampled_docs_hash": sampled_docs_hash,
+        "sampled_docs_exact_k": sampled_docs_exact_k,
+        "text_stats": text_stats,
+        "doc_fingerprints": doc_fingerprints,
+        "lang_distribution": lang_distribution,
+        "ann_brute_topk": ann_brute_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "multimodal_features": multimodal_features,
+        "events_sessions": events_sessions,
+        "events_asof_signup": events_asof_signup,
+        "events_range_join": events_range_join,
+        "events_hourly_rollup": events_hourly_rollup,
+        "events_json_props": events_json_props,
+        "events_type_rollup": events_type_rollup,
+        "events_percentiles": events_percentiles,
+        "events_pivot": events_pivot,
+        "events_cube": events_cube,
+        # --- past position 50: r03-green held out this round; these LEAD
+        # group 2 next round (their certification is then 2 rounds old) ---
+        "users_click_and_error": users_click_and_error,
+        "kg_degrees": kg_degrees,
+        "kg_pagerank": kg_pagerank,
+        "kg_node_properties": kg_node_properties,
+        "kg_population_properties": kg_population_properties,
+        "spiked_edges": spiked_edges,
+        "kg_span_invariant": kg_span_invariant,
+        "kg_nodes": kg_nodes,
+        "kg_canonical_map": kg_canonical_map,
+        "kg_edge_population_parse": kg_edge_population_parse,
+        "kg_population_size": kg_population_size,
+        "kg_rich_aggregated_mtype": kg_rich_aggregated_mtype,
+        "spike_has_spike_triples": spike_has_spike_triples,
+        "spike_rate_by_neuron": spike_rate_by_neuron,
+        "kg_attribute_triples": kg_attribute_triples,
+        "kg_synapse_triples": kg_synapse_triples,
+        "kg_aggregated_mtype": kg_aggregated_mtype,
+        "kg_dynamic_labels": kg_dynamic_labels,
+        "top_orders_per_customer": top_orders_per_customer,
+        "customers_with_orders": customers_with_orders,
+        "customers_without_orders": customers_without_orders,
+        "nations_customers_and_suppliers": nations_customers_and_suppliers,
+        "nations_customers_only": nations_customers_only,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q2_min_price_supplier": q2_min_price_supplier,
     }
 
 
@@ -2288,6 +2548,77 @@ def oracle_sql() -> dict[str, str]:
                             WHERE event_type = 'signup'
                             GROUP BY 1, 2) s
               ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        """,
+        # identical semantics to events_asof_signup (the bucketed form is
+        # proven output-identical), so the oracle is reused verbatim
+        "events_asof_signup_bucketed": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   s.signup_ts AS asof_ts, s.signup_event
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts AS signup_ts,
+                                   max(event_id) AS signup_event FROM events
+                            WHERE event_type = 'signup'
+                            GROUP BY 1, 2) s
+              ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        """,
+        # the streamed sessionizer must reproduce the BATCH events_sessions
+        # result — same oracle as events_sessions, verbatim
+        "events_sessions_streamed": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, value,
+                     CAST(sum(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, session_id
+        """,
+        # both engines align tumbling buckets to the epoch (Spark window()
+        # and DuckDB time_bucket), so the batch bucketing is the oracle for
+        # the watermarked streaming windows
+        "spike_windows_streamed": """
+            SELECT time_bucket(INTERVAL 10 MINUTES, ts) AS window_start,
+                   time_bucket(INTERVAL 10 MINUTES, ts) + INTERVAL 10 MINUTES
+                     AS window_end,
+                   user_id AS neuron_id,
+                   count(*) AS n_spikes
+            FROM events WHERE event_type = 'click'
+            GROUP BY 1, 2, 3
+        """,
+        # the doubled stream deduped = the original delivery set
+        "events_dedup_streamed": """
+            SELECT ts AS event_time,
+                   CAST(event_id AS VARCHAR) AS delivery_key,
+                   event_type AS payload
+            FROM events
+        """,
+        "populations_union": """
+            SELECT * FROM (VALUES
+              (CAST(0 AS BIGINT), 'L4_PC',  CAST(1.5  AS DOUBLE), CAST(NULL AS VARCHAR)),
+              (CAST(1 AS BIGINT), 'L5_TPC', CAST(2.25 AS DOUBLE), CAST(NULL AS VARCHAR)),
+              (CAST(2 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), 'bAC'),
+              (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), 'cADpyr')
+            ) AS t(neuron_id, mtype, soma_x, etype)
+        """,
+        "campaign_grid": f"""
+            SELECT CAST(spike_time AS DOUBLE) AS spike_time,
+                   CAST(neuron_id AS BIGINT) AS neuron_id,
+                   CAST(amplitude AS DOUBLE) AS amplitude,
+                   CAST(frequency AS DOUBLE) AS frequency
+            FROM (VALUES {_values_rows([
+                (10.0 * i + j + 0.25, j, [0.5, 1.0][i // 2], [10.0, 20.0][i % 2])
+                for i in range(4) for j in range(3)
+            ])}) AS t(spike_time, neuron_id, amplitude, frequency)
         """,
         "events_range_join": """
             SELECT w.signup_event, count(*) AS n_clicks
