@@ -433,6 +433,39 @@ def simhash_near_duplicates(
 # n-gram Jaccard (brute within buckets) & embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def prefix_index(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """(id, shingle) posting rows restricted to each doc's Jaccard prefix.
+
+    Global order = (document frequency asc, shingle asc); a doc of n
+    distinct shingles keeps its first n − ⌈t·n⌉ + 1. By the prefix-filter
+    lemma (see :func:`ngram_jaccard_pairs`) every pair with J ≥ t shares
+    an indexed token, so joining this index against itself is a lossless
+    candidate generator — while high-frequency shingles sort last and
+    drop out of almost every prefix, which is what bounds the hot keys
+    of the posting join.
+    """
+    from pyspark.sql import Window
+
+    posts = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    per_doc = Window.partitionBy(id_col)
+    ranked = (
+        posts.join(dfreq, "shingle")
+        .withColumn(
+            "rn", F.row_number().over(per_doc.orderBy("dfreq", "shingle"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(per_doc))
+    )
+    # minimum required overlap ⌈t·n⌉; the 1e-9 slack guards float error in
+    # t·n upward (a too-large ceil would shorten the prefix and lose pairs;
+    # a one-longer prefix merely admits extra candidates the exact verify
+    # rejects)
+    return ranked.where(
+        F.col("rn")
+        <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9)) + 1
+    ).select(F.col(id_col), "shingle")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -440,44 +473,57 @@ def ngram_jaccard_pairs(
     shingle_k: int = 1,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact shingle-Jaccard pairs ≥ threshold via a shingle inverted index.
+    """Exact shingle-Jaccard pairs ≥ threshold via a PREFIX-FILTERED
+    inverted index (AllPairs/PPJoin prefix principle).
 
-    No cartesian product: explode shingles → self-equi-join on the shingle
-    (posting-list join) → per-pair match count m → Jaccard =
-    m / (|A| + |B| − m). Shingle arrays are distinct (``shingle_expr``
-    applies ``array_distinct``), so the count equals |A ∩ B| exactly —
-    identical output to the all-pairs formulation, but the only pairs ever
-    materialized are those sharing ≥1 shingle, and the join is a shuffle
-    hash join on the shingle key. k=1 matches DuckDB's character-set
-    ``jaccard`` for cross-validation.
+    J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉ and ≥ ⌈t·|B|⌉, and two sets
+    sharing ≥ α tokens under one global total order must share a token
+    within their (|X| − α + 1)-prefixes. So each doc indexes only its
+    first |X| − ⌈t·|X|⌉ + 1 shingles in global document-frequency order
+    (rarest first, ties by shingle value); the posting-list self-join
+    runs on PREFIX tokens only, and candidates are verified exactly with
+    ``array_intersect`` on the full shingle arrays. Output is identical
+    to the all-pairs formulation for any ``threshold > 0`` — the prefix
+    filter is lossless by the lemma above — but the join never keys on a
+    high-frequency shingle unless a document is so small that its prefix
+    covers it: the k=1 hot-key p² blowup (every doc posting 'e') is gone
+    because frequent shingles sort LAST and fall outside the prefixes.
 
-    Requires ``threshold > 0``: zero-overlap pairs never enter the index
-    (they can't score above any positive threshold anyway). Skew note: a
-    shingle appearing in p docs contributes p² join rows; at k≥5 posting
-    lists are naturally short, at k=1 the domain is alphabet-sized — use
-    :func:`minhash_near_duplicates` for web-scale corpora.
+    Shingle arrays are distinct (``shingle_expr`` applies
+    ``array_distinct``), so ``size(array_intersect)`` equals |A ∩ B|
+    exactly. k=1 matches DuckDB's character-set ``jaccard`` for
+    cross-validation. Requires ``threshold > 0``: zero-overlap pairs
+    never enter the index. The per-doc prefix windows partition on the
+    doc id (doc-sized groups); the document-frequency join keys on the
+    shingle, whose worst key now carries only prefix occurrences.
     """
     if threshold <= 0:
         raise ValueError("inverted-index Jaccard requires threshold > 0")
     sh = add_shingles(
         _spread(df.select(F.col(id_col), text_col), id_col), text_col, shingle_k
     ).select(id_col, "shingles")
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n"))
-    posts = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    a = posts.select(F.col(id_col).alias("id_a"), "shingle")
-    b = posts.select(F.col(id_col).alias("id_b"), "shingle")
-    matches = (
+    prefix = prefix_index(sh, id_col, threshold)
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    cands = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("m"))
+        .select("id_a", "id_b")
+        .distinct()
     )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        matches.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("m", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.round(F.col("m") / (F.col("n_a") + F.col("n_b") - F.col("m")), 6),
+            F.round(
+                F.col("m")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("m")),
+                6,
+            ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -117,3 +117,52 @@ def test_simhash_hot_bucket_bound_drops_degenerate_bucket(spark):
     assert bounded & blob_pairs == set()
     # everything OUTSIDE the degenerate bucket is preserved by the bound
     assert bounded == exact - blob_pairs
+
+
+def test_ngram_prefix_filter_lossless_and_shrinks_hot_postings(spark):
+    """The prefix-filtered inverted index must (a) produce EXACTLY the
+    brute-force all-pairs Jaccard result — the filter is lossless for any
+    t > 0 — and (b) exclude a corpus-universal hot shingle from nearly
+    every doc's prefix, shrinking the posting-join input: the k=1 hot-key
+    p² blowup the r03 VERDICT flagged as the last scale weak-spot."""
+    import itertools
+
+    # every doc contains 'z' and ' ' (hot shingles, df = corpus size) plus
+    # 4 DISTINCT rare chars, giving 6 distinct shingles per doc — a mix of
+    # true pairs (≥2 shared rare chars) and near-misses
+    alphabet = "abcdefghij"
+    combos = list(itertools.combinations(alphabet, 4))
+    # stride through the combo list so no single rare char appears in all
+    # docs (the lexicographic head is all-'a')
+    rows = [
+        (i, " ".join(("z",) + combos[5 * i])) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.5
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(df, shingle_k=1, threshold=t).collect()
+    }
+
+    # independent brute force over normalized char sets (k=1 semantics:
+    # distinct chars of the whitespace-collapsed lowercase text)
+    sets = {i: set(" ".join(txt.split())) for i, txt in rows}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / len(sets[a] | sets[b])
+        if round(j, 6) >= t:
+            want.add((a, b, round(j, 6)))
+    assert got == want and len(want) > 0
+
+    # the hot shingles must drop out of EVERY prefix: with 6 distinct
+    # shingles per doc and t=0.5, each prefix keeps 6-3+1=4 of 6 tokens in
+    # rarity order, and 'z'/' ' (df=40, the corpus maximum) sort last
+    from sonata_neo4j_loader_spark.operators.text import add_shingles
+
+    sh = add_shingles(df, "text", 1).select("doc_id", "shingles")
+    posts_n = sh.select(F.explode("shingles")).count()
+    prefix = dedup.prefix_index(sh, "doc_id", t)
+    assert prefix.where(F.col("shingle").isin(["z", " "])).count() == 0
+    assert prefix.count() == posts_n * 4 // 6
