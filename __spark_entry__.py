@@ -1567,7 +1567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "populations_union": populations_union,
         "campaign_grid": campaign_grid,
         # --- group 1: code changed this round (prefix-filtered posting
-        # index; shared shingle frame) ---
+        # index; minhash rides along as the family's heaviest query even
+        # though its shingle-sharing lever was measured and rejected) ---
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
         "minhash_near_dups": minhash_near_dups,
         # --- group 2: last green in r02 (stale) — TPC-H q3..q22 ---
