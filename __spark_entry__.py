@@ -1018,6 +1018,37 @@ def kg_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.read_incremental_triples(spark, sink)
 
 
+def kg_materialized_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-adjudicated SINK row: the bucketed-parquet MERGE sink
+    (sinks/materialize.py — manifest-commit visibility, fingerprint-
+    skipped resume, dynamic partition overwrite) driven end-to-end. The
+    fixture attribute triples are materialized TWICE: the first run must
+    write every partition, the re-run must fingerprint-skip all of them
+    (resume no-op), and the manifest audit (``verify_against_manifest`` ≙
+    reference count logging, neo4j_operations.py:10-57) must be empty —
+    any violation raises and fails the row. The returned frame comes
+    through ``read_materialized`` (manifest-gated partition pruning), so
+    the oracle — the same golden VALUES list as ``kg_attribute_triples``
+    — adjudicates the full write→commit→read path."""
+    from sonata_neo4j_loader_spark.sinks import materialize as mat
+
+    def drain(table_dir: str) -> None:
+        attr = _kg_outputs(spark)["attribute_triples"].select("subj", "pred", "obj")
+        first = mat.materialize(attr, table_dir, ["subj", "pred", "obj"], num_buckets=8)
+        again = mat.materialize(attr, table_dir, ["subj", "pred", "obj"], num_buckets=8)
+        if first.rows_written == 0:
+            raise AssertionError("first materialize wrote nothing")
+        if again.rows_written != 0 or again.partitions_written:
+            raise AssertionError(
+                f"resume re-wrote {again.partitions_written}: fingerprint skip broken"
+            )
+        if mat.verify_against_manifest(spark, table_dir).count() != 0:
+            raise AssertionError("manifest audit found count drift")
+
+    table_dir = _drained_sink(spark, "kg_materialized_attr", drain)
+    return mat.read_materialized(spark, table_dir).select("subj", "pred", "obj")
+
+
 def kg_attribute_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _kg_outputs(spark)
     return out["attribute_triples"].select("subj", "pred", "obj")
@@ -1566,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_signup_bucketed": events_asof_signup_bucketed,
         "populations_union": populations_union,
         "campaign_grid": campaign_grid,
+        "kg_materialized_attr": kg_materialized_attr,
         # --- group 1: code changed this round (prefix-filtered posting
         # index; minhash rides along as the family's heaviest query even
         # though its shingle-sharing lever was measured and rejected) ---
@@ -2503,6 +2535,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_attribute_triples": _kg_attr_oracle(),
         # the stream must reproduce the batch attribute-triple set exactly
         "kg_streaming_incremental": _kg_attr_oracle(),
+        # the sink row must reproduce the same golden attribute-triple set
+        # through the write->manifest-commit->gated-read path
+        "kg_materialized_attr": _kg_attr_oracle(),
         "kg_synapse_triples": _kg_syn_oracle(),
         "kg_aggregated_mtype": _kg_agg_oracle(),
         "kg_nodes": _kg_nodes_oracle(),

@@ -253,3 +253,49 @@ def test_bucketed_asof_matches_plain(spark, lefts, rights):
         ).collect()
     }
     assert bucketed == plain
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdez ", min_size=0, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.2, 0.34, 0.5, 0.75, 0.9, 1.0]),
+)
+def test_ngram_prefix_filter_matches_brute_force(spark, texts, threshold):
+    """Prefix-filtered inverted-index Jaccard == all-pairs brute force for
+    ANY corpus and any threshold in (0, 1] — the losslessness lemma, probed
+    on random shapes (empty docs, duplicates, whitespace runs, tiny
+    alphabets with extreme document frequencies) no fixture hand-picks."""
+    import itertools
+
+    from sonata_neo4j_loader_spark.operators import dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            df, shingle_k=1, threshold=threshold
+        ).collect()
+    }
+
+    # brute force over k=1 shingle semantics: distinct chars of the
+    # lowercased whitespace-collapsed text; an empty normalization yields
+    # the single empty-string shingle (shingle_expr's n<k branch)
+    def shingles(t: str) -> set:
+        norm = " ".join(t.lower().split())
+        return set(norm) if norm else {""}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6)
+        if j >= threshold:
+            want.add((a, b, j))
+    assert got == want
