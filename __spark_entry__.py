@@ -52,28 +52,35 @@ def _sink_dir(prefix: str) -> str:
     return d
 
 
-# per-query single-slot memo: query name -> (session id, sink path). A
-# long-lived driver session re-running a streaming contract query reuses
+# per-query single-slot memo: query name -> (session weakref, sink path).
+# A long-lived driver session re-running a streaming contract query reuses
 # the already-drained sink instead of growing a fresh temp dir + checkpoint
 # per call; a new session re-drains (fresh dirs, cold checkpoint) and the
-# stale sink is reaped by the atexit hook above.
-_STREAM_SINK_CACHE: dict[str, tuple[int, str]] = {}
+# stale sink is reaped by the atexit hook above. A WEAKREF (not id()) keys
+# the memo: CPython recycles a dead session's address, so an id match
+# could silently hand a new session the stale sink without re-draining.
+_STREAM_SINK_CACHE: dict[str, tuple[object, str]] = {}
 
 
 def _drained_sink(spark: SparkSession, name: str, drain: Callable[[str], None]) -> str:
     """Memoized drain-to-parquet: run ``drain(sink_dir)`` once per session."""
+    import weakref
+
     cached = _STREAM_SINK_CACHE.get(name)
-    if cached is not None and cached[0] == id(spark):
+    if cached is not None and cached[0]() is spark:
         return cached[1]
     sink = _sink_dir(f"{name}_sink_")
     drain(sink)
-    _STREAM_SINK_CACHE[name] = (id(spark), sink)
+    _STREAM_SINK_CACHE[name] = (weakref.ref(spark), sink)
     return sink
 
 
-# single-slot memo: (session id, outputs). Keyed to ONE session at a time
-# so a driver that cycles sessions never pins dead sessions' persisted
-# frames (the old dict-per-session cache grew without eviction).
+# single-slot memo: (session weakref, outputs). Keyed to ONE session at a
+# time so a driver that cycles sessions never pins dead sessions' persisted
+# frames (the old dict-per-session cache grew without eviction). A WEAKREF
+# (not id()) identifies the session: CPython recycles a dead session's
+# address, and an id collision would hand a new session plans bound to the
+# dead one.
 _KG_OUTPUTS_CACHE: list = [None, None]
 
 
@@ -90,11 +97,13 @@ def _kg_outputs(spark: SparkSession) -> dict:
     design — the driver contract runs queries sequentially; concurrent
     cold calls would merely build twice.
     """
-    key = id(spark)
-    if _KG_OUTPUTS_CACHE[0] != key:
+    import weakref
+
+    ref = _KG_OUTPUTS_CACHE[0]
+    if ref is None or ref() is not spark:
         docs = dg.fixture_documents(spark)
         _KG_OUTPUTS_CACHE[:] = [
-            key,
+            weakref.ref(spark),
             pipeline.build_triples(
                 spark, docs, dg.fixture_entities(spark), dg.fixture_alias_edges(spark)
             ),
@@ -1585,7 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        overflow past position 50 ride on their fresh row and LEAD the
        next round's group 2.
 
-    With a 75-query registry and a 50-row window, the rotation
+    With a 76-query registry and a 50-row window, the rotation
     re-certifies every query at least every other round.
     """
     return {
@@ -1648,9 +1657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_rollup": events_type_rollup,
         "events_percentiles": events_percentiles,
         "events_pivot": events_pivot,
-        "events_cube": events_cube,
         # --- past position 50: r03-green held out this round; these LEAD
         # group 2 next round (their certification is then 2 rounds old) ---
+        "events_cube": events_cube,
         "users_click_and_error": users_click_and_error,
         "kg_degrees": kg_degrees,
         "kg_pagerank": kg_pagerank,

@@ -30,6 +30,20 @@ from .text import add_shingles, fingerprint, normalized_text
 _LOG = logging.getLogger(__name__)
 
 
+def _parse_bytes_conf(value: str) -> int:
+    """Spark byte-conf string ('134217728b', '8m', '1g', ...) -> bytes."""
+    s = value.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s) * mult)
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Repartition compute-heavy inputs that arrive under-partitioned.
 
@@ -39,19 +53,43 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     enough parallelism (the 10^12-doc case).
 
     The partition-count probe (``df.rdd.getNumPartitions()`` — there is no
-    DataFrame-level equivalent) forces a driver-side plan conversion, so it
-    only runs when the input *could* be under-partitioned: a local relation
-    (createDataFrame fixtures) or a file scan with at most
-    ``defaultParallelism`` files. A 10^12-row scan has thousands of input
-    files and skips the probe entirely — the scan's ``maxPartitionBytes``
-    splits already provide the parallelism, and an unconditional
-    repartition would add a corpus-wide shuffle of raw text.
+    DataFrame-level equivalent) forces a driver-side plan conversion, so a
+    large scan gets to skip it when a SOUND lower bound already proves
+    parallelism: scan partitions ≥ total_file_bytes / maxPartitionBytes
+    (FilePartition bin-packing never packs more than maxPartitionBytes of
+    file bytes into one split), so once the statable input bytes reach
+    ``target × maxPartitionBytes`` the probe is unnecessary. File COUNT is
+    deliberately not used — 100 near-empty part files plus one fat one
+    bin-pack into few splits. Inputs whose bytes can't be cheaply statted
+    (remote object stores, local relations) just probe — the probe is
+    correct, only the plan-conversion cost is being avoided.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if df.isLocal() or (len(files) <= target):
-        if df.rdd.getNumPartitions() < target:
-            return df.repartition(target, key)
+    if files and not df.isLocal():
+        import os
+        from urllib.parse import unquote, urlparse
+
+        total: int | None = 0
+        for f in files:
+            parsed = urlparse(f)
+            if parsed.scheme not in ("", "file"):
+                total = None
+                break
+            try:
+                total += os.path.getsize(unquote(parsed.path))
+            except OSError:
+                total = None
+                break
+        if total is not None:
+            max_pb = _parse_bytes_conf(
+                str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+            )
+            if total >= target * max_pb:
+                return df
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
     return df
 
 
