@@ -241,3 +241,26 @@ def test_pair_first_attr_branch_single_exchange(spark):
     pairs = canonicalize.apply_canonical_mapping(pairs, mapping, "obj")
     plan = _plan(triples.neuron_attribute_triples_from_pairs(pairs))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bucketed_asof_corpus_windows_partition_on_bucket(spark):
+    # the skew-proof as-of variant's promise is STRUCTURAL: every window
+    # over corpus-scale rows must partition on (key, time-bucket), never on
+    # the key alone — only the per-key bucket SUMMARY carry (one row per
+    # non-empty bucket, dimension-sized by construction) may key-partition
+    import re
+
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.events_asof_signup_bucketed(spark, SF_DIR))
+    win_lines = [
+        line for line in plan.splitlines() if "windowspecdefinition" in line
+    ]
+    assert len(win_lines) == 3  # bucket_last row_number, seed carry, main carry
+    key_only = 0
+    for line in win_lines:
+        groups = re.findall(r"\[([^\[\]]*)\]", line)
+        partition_cols = groups[-2]  # [..fns..], [partition], [order]
+        if "_b#" not in partition_cols:
+            key_only += 1
+    assert key_only == 1  # exactly the summary carry
