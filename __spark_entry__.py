@@ -1058,6 +1058,52 @@ def kg_materialized_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mat.read_materialized(spark, table_dir).select("subj", "pred", "obj")
 
 
+def kg_materialized_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-adjudicated SINK-REFRESH row (the reference's MERGE-update /
+    truncate-and-reload semantics, neo4j_operations.py:323-346 +
+    clear_database, circuit_loader.py:30): a STALE version of the
+    attribute table (one golden triple dropped, one wrong triple added)
+    is materialized first; re-materializing the TRUE table must rewrite
+    exactly the fingerprint-changed partitions via dynamic partition
+    overwrite — stale rows are REPLACED, never appended to — and the
+    manifest-gated read must then equal the golden set. The oracle is
+    the same golden VALUES list as ``kg_attribute_triples``; any failure
+    to rewrite (or a leftover stale row) breaks the hash."""
+    from sonata_neo4j_loader_spark.sinks import materialize as mat
+
+    def drain(table_dir: str) -> None:
+        attr = _kg_outputs(spark)["attribute_triples"].select("subj", "pred", "obj")
+        wrong = spark.createDataFrame(
+            [("neuron:NodeA:0", "HAS_MTYPE", "WRONG_STALE_VALUE")],
+            "subj string, pred string, obj string",
+        )
+        stale = attr.where(F.col("pred") != "HAS_SCLASS").unionByName(wrong)
+        mat.materialize(stale, table_dir, ["subj", "pred", "obj"], num_buckets=8)
+        refresh = mat.materialize(attr, table_dir, ["subj", "pred", "obj"], num_buckets=8)
+        if not refresh.partitions_written:
+            raise AssertionError("refresh rewrote nothing although content changed")
+        if mat.verify_against_manifest(spark, table_dir).count() != 0:
+            raise AssertionError("manifest audit found count drift after refresh")
+
+    table_dir = _drained_sink(spark, "kg_materialized_refresh", drain)
+    return mat.read_materialized(spark, table_dir).select("subj", "pred", "obj")
+
+
+def kg_dry_run_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-adjudicated GATE row: the batch replacement for the
+    reference's interactive stdin confirmation (data_extraction.py:125-134
+    ``input("Do you want to proceed ...")``) is a would-be-write size
+    report (plans/pipeline.py ``dry_run_report`` — counts only, no
+    writes). The report over the fixture pipeline is deterministic, so a
+    one-row VALUES oracle adjudicates every table's count, including the
+    zero invariant-violation gate."""
+    report = pipeline.dry_run_report(_kg_outputs(spark))
+    return spark.createDataFrame(
+        [tuple(int(report[k]) for k in sorted(report))],
+        ", ".join(f"{k} long" for k in sorted(report)),
+    )
+
+
 def kg_attribute_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _kg_outputs(spark)
     return out["attribute_triples"].select("subj", "pred", "obj")
@@ -1594,7 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        overflow past position 50 ride on their fresh row and LEAD the
        next round's group 2.
 
-    With a 76-query registry and a 50-row window, the rotation
+    With a 78-query registry and a 50-row window, the rotation
     re-certifies every query at least every other round.
     """
     return {
@@ -1607,6 +1653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "populations_union": populations_union,
         "campaign_grid": campaign_grid,
         "kg_materialized_attr": kg_materialized_attr,
+        "kg_materialized_refresh": kg_materialized_refresh,
+        "kg_dry_run_gate": kg_dry_run_gate,
         # --- group 1: code changed this round (prefix-filtered posting
         # index; minhash rides along as the family's heaviest query even
         # though its shingle-sharing lever was measured and rejected) ---
@@ -1655,10 +1703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": events_hourly_rollup,
         "events_json_props": events_json_props,
         "events_type_rollup": events_type_rollup,
-        "events_percentiles": events_percentiles,
-        "events_pivot": events_pivot,
         # --- past position 50: r03-green held out this round; these LEAD
         # group 2 next round (their certification is then 2 rounds old) ---
+        "events_percentiles": events_percentiles,
+        "events_pivot": events_pivot,
         "events_cube": events_cube,
         "users_click_and_error": users_click_and_error,
         "kg_degrees": kg_degrees,
@@ -2544,9 +2592,20 @@ def oracle_sql() -> dict[str, str]:
         "kg_attribute_triples": _kg_attr_oracle(),
         # the stream must reproduce the batch attribute-triple set exactly
         "kg_streaming_incremental": _kg_attr_oracle(),
-        # the sink row must reproduce the same golden attribute-triple set
-        # through the write->manifest-commit->gated-read path
+        # the sink rows must reproduce the same golden attribute-triple set
+        # through the write->manifest-commit->gated-read path (refresh:
+        # after a stale version was committed first and rewritten)
         "kg_materialized_attr": _kg_attr_oracle(),
+        "kg_materialized_refresh": _kg_attr_oracle(),
+        # fixture pipeline would-be-write sizes (columns sorted by name,
+        # matching the Spark side's sorted(report) construction)
+        "kg_dry_run_gate": """
+            SELECT CAST(15 AS BIGINT) AS aggregate_triples,
+                   CAST(25 AS BIGINT) AS attribute_triples,
+                   CAST(0  AS BIGINT) AS invariant_violations,
+                   CAST(18 AS BIGINT) AS nodes,
+                   CAST(16 AS BIGINT) AS synapse_triples
+        """,
         "kg_synapse_triples": _kg_syn_oracle(),
         "kg_aggregated_mtype": _kg_agg_oracle(),
         "kg_nodes": _kg_nodes_oracle(),
