@@ -359,6 +359,27 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 word bigrams over the corpus (operators/text.py
+    ``top_ngram_counts``) — the LM-training collocation/vocabulary
+    report. One map-side-combined shuffle on the bigram key, then
+    TakeOrderedAndProject; deterministic (count desc, bigram asc) tie
+    order makes the cut at k cross-engine-stable. Exact DuckDB oracle
+    via regexp_split + list_transform."""
+    return text.top_ngram_counts(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+def word_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE-ish token counts (operators/text.py ``word_tokens``:
+    word pieces OR digit runs OR single symbols — the tokenizer-style
+    counting SURVEY lists beside whitespace counting). Oracle: DuckDB
+    ``regexp_extract_all`` with the identical RE2 pattern."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(text.word_tokens("text")).alias("n_word_tokens")
+    )
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
@@ -1640,7 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        overflow past position 50 ride on their fresh row and LEAD the
        next round's group 2.
 
-    With a 78-query registry and a 50-row window, the rotation
+    With an 80-query registry and a 50-row window, the rotation
     re-certifies every query at least every other round.
     """
     return {
@@ -1655,6 +1676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_materialized_attr": kg_materialized_attr,
         "kg_materialized_refresh": kg_materialized_refresh,
         "kg_dry_run_gate": kg_dry_run_gate,
+        "top_bigrams": top_bigrams,
+        "word_token_stats": word_token_stats,
         # --- group 1: code changed this round (prefix-filtered posting
         # index; minhash rides along as the family's heaviest query even
         # though its shingle-sharing lever was measured and rejected) ---
@@ -1701,10 +1724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_signup": events_asof_signup,
         "events_range_join": events_range_join,
         "events_hourly_rollup": events_hourly_rollup,
-        "events_json_props": events_json_props,
-        "events_type_rollup": events_type_rollup,
         # --- past position 50: r03-green held out this round; these LEAD
         # group 2 next round (their certification is then 2 rounds old) ---
+        "events_json_props": events_json_props,
+        "events_type_rollup": events_type_rollup,
         "events_percentiles": events_percentiles,
         "events_pivot": events_pivot,
         "events_cube": events_cube,
@@ -2605,6 +2628,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0  AS BIGINT) AS invariant_violations,
                    CAST(18 AS BIGINT) AS nodes,
                    CAST(16 AS BIGINT) AS synapse_triples
+        """,
+        "top_bigrams": """
+            WITH toks AS (
+              SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i + 1])) AS ngram
+              FROM toks WHERE len(t) >= 2
+            )
+            SELECT ngram, count(*) AS n_occurrences
+            FROM grams GROUP BY 1
+            ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
+        """,
+        "word_token_stats": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_word_tokens
+            FROM documents
         """,
         "kg_synapse_triples": _kg_syn_oracle(),
         "kg_aggregated_mtype": _kg_agg_oracle(),

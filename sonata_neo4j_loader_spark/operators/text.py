@@ -38,7 +38,38 @@ def word_tokens(col: str = "text") -> Column:
     ).alias("word_tokens")
 
 
-def lang_id(col: str = "text") -> Column:
+def word_ngrams(col: str = "text", n: int = 2) -> Column:
+    """Word-level n-grams (space-joined) of the lowercased, trimmed text.
+
+    Tokens = whitespace split; documents with fewer than ``n`` tokens
+    yield an empty array (guarded explicitly: Spark's ``sequence(a, b)``
+    COUNTS DOWN when a > b, so an unguarded ``sequence(0, size-n)`` on a
+    short doc would fabricate indices). Pure JVM ``transform`` over an
+    index sequence — no explode until the caller asks for one, no Python.
+    """
+    toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    ).alias(f"word_{n}grams")
+
+
+def top_ngram_counts(df, n: int = 2, k: int = 20, text_col: str = "text"):
+    """Global top-k word n-grams by corpus frequency — the LM-training
+    corpus-stats primitive (vocabulary/collocation reports).
+
+    explode → groupBy(ngram) → count is one map-side-combined shuffle on
+    the n-gram key; the top-k is ``orderBy(...).limit(k)``, which Spark
+    plans as TakeOrderedAndProject (per-partition top-k + driver merge of
+    k·P rows), never a global sort. Ties break on the n-gram string, so
+    the cut at position k is deterministic and cross-engine-stable.
+    """
+    grams = df.select(F.explode(word_ngrams(text_col, n)).alias("ngram"))
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("ngram")).limit(k)
     """Heuristic language ID: first matching stopword marker, else 'und'.
 
     Deterministic n-gram-style heuristic (marker substring on the padded,

@@ -1,0 +1,40 @@
+"""Word n-gram operator edge cases + plan shape.
+
+The subtle bug class: Spark's ``sequence(a, b)`` counts DOWN when a > b,
+so an unguarded index sequence on sub-n-token docs fabricates n-grams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sonata_neo4j_loader_spark.operators import text
+
+
+def test_word_ngrams_short_docs_yield_empty(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, "one two"), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.g
+        for r in df.select("doc_id", text.word_ngrams("text", 2).alias("g")).collect()
+    }
+    assert rows[0] == [] and rows[1] == [] and rows[2] == []
+    assert rows[3] == ["one two"]
+    assert rows[4] == ["a b", "b c"]
+
+
+def test_top_ngram_counts_plans_take_ordered(spark):
+    df = spark.createDataFrame([(0, "a b a b c")], "doc_id long, text string")
+    plan = text.top_ngram_counts(df, n=2, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, no global sort
+
+
+def test_top_ngram_counts_values(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran"), (2, "THE  Cat sat")],
+        "doc_id long, text string",
+    )
+    got = [(r.ngram, r.n_occurrences) for r in text.top_ngram_counts(df, 2, 3).collect()]
+    assert got == [("the cat", 3), ("cat sat", 2), ("cat ran", 1)]
