@@ -907,6 +907,20 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.6)
 
 
+def minhash_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER collapse (operators/dedup.py
+    ``near_dup_survivors``): minhash pairs → connected components →
+    keep the min-id member per component, drop the rest with one anti
+    join. The oracle recomputes the exact all-pairs-Jaccard pair set in
+    DuckDB (same CTE as ``minhash_near_dups``), closes it transitively
+    with a recursive CTE, and keeps every doc with no smaller reachable
+    neighbor — so transitive chains (A~B~C, A≁C) are adjudicated, not
+    just pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.6)
+    return dedup.near_dup_survivors(docs, pairs, "doc_id").select("doc_id")
+
+
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups with the md5 hash twin (60-bit, first 15 hex chars
     of md5) so DuckDB recomputes the identical simhash values and the
@@ -1661,7 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        overflow past position 50 ride on their fresh row and LEAD the
        next round's group 2.
 
-    With an 80-query registry and a 50-row window, the rotation
+    With an 81-query registry and a 50-row window, the rotation
     re-certifies every query at least every other round.
     """
     return {
@@ -1678,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dry_run_gate": kg_dry_run_gate,
         "top_bigrams": top_bigrams,
         "word_token_stats": word_token_stats,
+        "minhash_dup_survivors": minhash_dup_survivors,
         # --- group 1: code changed this round (prefix-filtered posting
         # index; minhash rides along as the family's heaviest query even
         # though its shingle-sharing lever was measured and rejected) ---
@@ -1723,9 +1738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": events_sessions,
         "events_asof_signup": events_asof_signup,
         "events_range_join": events_range_join,
-        "events_hourly_rollup": events_hourly_rollup,
         # --- past position 50: r03-green held out this round; these LEAD
         # group 2 next round (their certification is then 2 rounds old) ---
+        "events_hourly_rollup": events_hourly_rollup,
         "events_json_props": events_json_props,
         "events_type_rollup": events_type_rollup,
         "events_percentiles": events_percentiles,
@@ -1793,6 +1808,38 @@ _TOKENS_SQL = (
     "(case when trim(text) = '' then 0 "
     "else len(regexp_split_to_array(trim(text), '\\s+')) end)"
 )
+
+# exact all-pairs 5-gram Jaccard >= 0.6 over documents (inverted index) —
+# the oracle for minhash_near_dups, and the pair CTE the survivors oracle
+# closes transitively
+_MINHASH_PAIRS_SQL = """
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 5 THEN [t]
+                  ELSE list_distinct(
+                         [substr(t, i, 5) for i in range(1, len(t) - 3)])
+             END AS shingles
+      FROM norm
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM sh
+    ), posts AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS m
+      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(m * 1.0 / (sa.n + sb.n - m), 6) AS jaccard
+    FROM m
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(m * 1.0 / (sa.n + sb.n - m), 6) >= 0.6
+"""
 
 
 def _values_rows(rows: list[tuple]) -> str:
@@ -2390,33 +2437,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact all-pairs 5-gram Jaccard >= 0.6 (inverted-index form):
         # equality adjudicates LSH recall AND verify-stage precision.
-        "minhash_near_dups": """
-            WITH norm AS (
-              SELECT doc_id,
-                     regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
-              FROM documents
-            ), sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(t) < 5 THEN [t]
-                          ELSE list_distinct(
-                                 [substr(t, i, 5) for i in range(1, len(t) - 3)])
-                     END AS shingles
-              FROM norm
-            ), sizes AS (
-              SELECT doc_id, len(shingles) AS n FROM sh
-            ), posts AS (
-              SELECT doc_id, unnest(shingles) AS s FROM sh
-            ), m AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS m
-              FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
+        "minhash_near_dups": _MINHASH_PAIRS_SQL,
+        # transitive closure of the exact pair set -> min-id survivor per
+        # component (clusters, not pairs — A~B~C collapses to one doc)
+        "minhash_dup_survivors": f"""
+            WITH RECURSIVE und AS (
+              SELECT id_a AS u, id_b AS v FROM ({_MINHASH_PAIRS_SQL}) p
+              UNION
+              SELECT id_b AS u, id_a AS v FROM ({_MINHASH_PAIRS_SQL}) q
+            ), reach(u, v) AS (
+              SELECT u, v FROM und
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
             )
-            SELECT id_a, id_b,
-                   round(m * 1.0 / (sa.n + sb.n - m), 6) AS jaccard
-            FROM m
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE round(m * 1.0 / (sa.n + sb.n - m), 6) >= 0.6
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT u FROM reach WHERE v < u)
         """,
         # simhash md5 twin recomputed end-to-end in SQL: 60-bit shingle
         # hashes -> per-bit +/-1 votes -> simhash -> brute all-pairs

@@ -335,6 +335,34 @@ def minhash_near_duplicates(
     return jaccard_verify(cands, df, id_col, text_col, shingle_k, threshold)
 
 
+def near_dup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One survivor (the min id) per near-duplicate CLUSTER.
+
+    Pair lists from any detector (minhash/simhash/ngram/embedding) are
+    edges of a similarity graph; keeping "one of each pair" is wrong when
+    A~B and B~C but A!~C — the whole component must collapse to one doc.
+    Components come from :func:`canonicalize.connected_components`
+    (alternating-star contraction at scale, driver union-find for
+    broadcast-sized pair sets); every member whose canonical is not
+    itself is dropped via one anti join.
+
+    Scale posture: the component mapping is sized by DOCS THAT HAVE A
+    NEAR-DUP (usually ≪ corpus), so the anti join broadcasts when small
+    and AQE handles it otherwise; the corpus is never shuffled.
+    """
+    from .canonicalize import connected_components
+
+    mapping = connected_components(
+        pairs.select("id_a", "id_b"), a_col="id_a", b_col="id_b"
+    )
+    losers = mapping.where(F.col("entity_id") != F.col("canonical_id")).select(
+        F.col("entity_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

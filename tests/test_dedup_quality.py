@@ -166,3 +166,18 @@ def test_ngram_prefix_filter_lossless_and_shrinks_hot_postings(spark):
     prefix = dedup.prefix_index(sh, "doc_id", t)
     assert prefix.where(F.col("shingle").isin(["z", " "])).count() == 0
     assert prefix.count() == posts_n * 4 // 6
+
+
+def test_near_dup_survivors_collapse_transitive_chains(spark):
+    # A~B and B~C without A~C: the CLUSTER must collapse to min(A,B,C) —
+    # per-pair survivor picking would wrongly keep one of {B, C} too
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup.near_dup_survivors(df, pairs).collect()
+    )
+    assert kept == [0, 1, 4]  # {0,3,5}->0, {1,2}->1, isolated 4 stays
