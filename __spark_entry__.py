@@ -380,6 +380,30 @@ def word_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel (operators/behavior.py
+    ``funnel_counts``): users whose first signup precedes a later click
+    precedes a later purchase — first-touch completion times, strict
+    ordering. k map-side-combined user-keyed shuffles, no global window,
+    no per-user history materialization. Exact chained-CTE oracle."""
+    from sonata_neo4j_loader_spark.operators import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior.funnel_counts(ev, ["signup", "click", "purchase"])
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix (operators/behavior.py
+    ``retention_cohorts``): cohort = Monday-truncated week of first
+    signup; cells count DISTINCT users active (any event type) at each
+    non-negative week offset. Both engines Monday-truncate weeks, so the
+    oracle is exact."""
+    from sonata_neo4j_loader_spark.operators import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior.retention_cohorts(ev, anchor_type="signup")
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
@@ -1675,7 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        overflow past position 50 ride on their fresh row and LEAD the
        next round's group 2.
 
-    With an 81-query registry and a 50-row window, the rotation
+    With an 83-query registry and a 50-row window, the rotation
     re-certifies every query at least every other round.
     """
     return {
@@ -1693,6 +1717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": top_bigrams,
         "word_token_stats": word_token_stats,
         "minhash_dup_survivors": minhash_dup_survivors,
+        "events_funnel": events_funnel,
+        "events_retention": events_retention,
         # --- group 1: code changed this round (prefix-filtered posting
         # index; minhash rides along as the family's heaviest query even
         # though its shingle-sharing lever was measured and rejected) ---
@@ -1736,10 +1762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "multimodal_features": multimodal_features,
         "events_sessions": events_sessions,
-        "events_asof_signup": events_asof_signup,
-        "events_range_join": events_range_join,
         # --- past position 50: r03-green held out this round; these LEAD
         # group 2 next round (their certification is then 2 rounds old) ---
+        "events_asof_signup": events_asof_signup,
+        "events_range_join": events_range_join,
         "events_hourly_rollup": events_hourly_rollup,
         "events_json_props": events_json_props,
         "events_type_rollup": events_type_rollup,
@@ -2682,6 +2708,43 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_word_tokens
             FROM documents
+        """,
+        "events_funnel": """
+            WITH s0 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY 1
+            ), s1 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s0 ON e.user_id = s0.user_id
+              WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1
+            )
+            SELECT CAST(0 AS INT) AS step_index, 'signup' AS step,
+                   (SELECT count(*) FROM s0) AS n_users
+            UNION ALL
+            SELECT CAST(1 AS INT), 'click', (SELECT count(*) FROM s1)
+            UNION ALL
+            SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
+        """,
+        "events_retention": """
+            WITH anchors AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+              FROM events WHERE event_type = 'signup' GROUP BY 1
+            ), cells AS (
+              SELECT a.cohort_week,
+                     CAST(floor(date_diff('day', a.cohort_week,
+                                          date_trunc('week', e.ts)) / 7.0)
+                          AS INT) AS week_offset,
+                     e.user_id
+              FROM events e JOIN anchors a ON e.user_id = a.user_id
+            )
+            SELECT cohort_week, week_offset,
+                   count(DISTINCT user_id) AS n_users
+            FROM cells WHERE week_offset >= 0
+            GROUP BY 1, 2
         """,
         "kg_synapse_triples": _kg_syn_oracle(),
         "kg_aggregated_mtype": _kg_agg_oracle(),
