@@ -914,6 +914,24 @@ def sampled_docs_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exact-k sampling (operators/sampling.py
+    ``sample_k_per_group``): 5 docs per detected language, smallest-md5
+    rank — the training-data balancing primitive (a global exact-k would
+    keep mostly the dominant language). One window shuffle keyed on the
+    stratum; md5 rank so the DuckDB oracle reproduces the identical
+    selection (engine hot path defaults to xxhash64)."""
+    from sonata_neo4j_loader_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.lang_id("text")
+    )
+    rank = F.md5(F.col("doc_id").cast("string"))
+    return sampling.sample_k_per_group(
+        docs, group_col="lang_id", k=5, key_col="doc_id", rank_expr=rank
+    )
+
+
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=1, threshold=0.9)
@@ -1699,7 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        overflow past position 50 ride on their fresh row and LEAD the
        next round's group 2.
 
-    With an 83-query registry and a 50-row window, the rotation
+    With an 84-query registry and a 50-row window, the rotation
     re-certifies every query at least every other round.
     """
     return {
@@ -1719,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_survivors": minhash_dup_survivors,
         "events_funnel": events_funnel,
         "events_retention": events_retention,
+        "stratified_docs_by_lang": stratified_docs_by_lang,
         # --- group 1: code changed this round (prefix-filtered posting
         # index; minhash rides along as the family's heaviest query even
         # though its shingle-sharing lever was measured and rejected) ---
@@ -1761,9 +1780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "multimodal_features": multimodal_features,
-        "events_sessions": events_sessions,
         # --- past position 50: r03-green held out this round; these LEAD
         # group 2 next round (their certification is then 2 rounds old) ---
+        "events_sessions": events_sessions,
         "events_asof_signup": events_asof_signup,
         "events_range_join": events_range_join,
         "events_hourly_rollup": events_hourly_rollup,
@@ -2728,6 +2747,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(1 AS INT), 'click', (SELECT count(*) FROM s1)
             UNION ALL
             SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
+        """,
+        "stratified_docs_by_lang": f"""
+            WITH langs AS (
+              SELECT doc_id, {_LANG_SQL} AS lang_id FROM documents
+            ), ranked AS (
+              SELECT doc_id, lang_id,
+                     row_number() OVER (
+                       PARTITION BY lang_id
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rn
+              FROM langs
+            )
+            SELECT doc_id, lang_id FROM ranked WHERE rn <= 5
         """,
         "events_retention": """
             WITH anchors AS (

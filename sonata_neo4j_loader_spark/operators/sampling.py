@@ -103,6 +103,42 @@ def sample_exact_fraction(
     return sample_exact_k(df, k, key_col, seed)
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str,
+    seed: int = 42,
+    rank_expr: F.Column | None = None,
+) -> DataFrame:
+    """Stratified exact-k sample: up to ``k`` rows PER GROUP, the ones
+    with the smallest hash rank — deterministic under any partitioning.
+
+    The training-data balancing primitive (equal-sized slices per
+    language/source/quality bucket): a global ``sample_exact_k`` would
+    keep whole groups' worth of the dominant stratum. One window shuffle
+    keyed on the group; no group's rows ever leave their reducer, so
+    skew is bounded by the largest stratum (same bound as any stratified
+    pass). ``rank_expr`` as in :func:`sample_exact_k` (md5 for
+    engine-portable oracles); ties break on ``key_col``.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        return df.where(F.lit(False))
+    rank = (
+        rank_expr
+        if rank_expr is not None
+        else F.xxhash64(F.col(key_col), F.lit(seed))
+    )
+    w = Window.partitionBy(group_col).orderBy(rank, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def filter_node_set(neurons: DataFrame, node_set_pops: list[str] | None) -> DataFrame:
     """Node-set filter: keep neurons of the named populations.
 

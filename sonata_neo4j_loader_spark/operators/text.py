@@ -70,6 +70,9 @@ def top_ngram_counts(df, n: int = 2, k: int = 20, text_col: str = "text"):
     grams = df.select(F.explode(word_ngrams(text_col, n)).alias("ngram"))
     counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_occurrences"))
     return counts.orderBy(F.desc("n_occurrences"), F.asc("ngram")).limit(k)
+
+
+def lang_id(col: str = "text") -> Column:
     """Heuristic language ID: first matching stopword marker, else 'und'.
 
     Deterministic n-gram-style heuristic (marker substring on the padded,
