@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _fingerprint(edges: DataFrame) -> int:
@@ -68,7 +69,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
 LOCAL_CC_MAX_EDGES = 5_000_000
 
 
-def _local_union_find(spark, us, vs) -> DataFrame:
+def _local_union_find(spark, us, vs, id_type: T.DataType) -> DataFrame:
     """Driver-side DSU with path compression over a *dimension-sized* edge set.
 
     Scale contract: only invoked when the alias set fits the broadcast
@@ -76,6 +77,11 @@ def _local_union_find(spark, us, vs) -> DataFrame:
     requires to broadcast the resulting mapping. Corpus-sized data never
     takes this path (see `connected_components` strategy='auto').
     Duplicate edges are harmless to DSU, so no distinct pass is needed.
+
+    ``id_type`` is the INPUT edge column type: the mapping must come back
+    with the same dtype as the distributed path preserves, or a caller
+    joining it against the original ids forces a lossy coercion (string
+    vs bigint joins compare as double — ids above 2^53 collide).
     """
     parent: dict[str, str] = {}
 
@@ -93,7 +99,13 @@ def _local_union_find(spark, us, vs) -> DataFrame:
             parent[max(ru, rv)] = min(ru, rv)
     members = set(us) | set(vs)
     rows = [(m, find(m)) for m in sorted(members)]
-    return spark.createDataFrame(rows, "entity_id string, canonical_id string")
+    schema = T.StructType(
+        [
+            T.StructField("entity_id", id_type, False),
+            T.StructField("canonical_id", id_type, False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def connected_components(
@@ -122,7 +134,10 @@ def connected_components(
         probe = raw.limit(LOCAL_CC_MAX_EDGES + 1).toPandas()
         if len(probe) <= LOCAL_CC_MAX_EDGES:
             return _local_union_find(
-                raw.sparkSession, probe["u"].tolist(), probe["v"].tolist()
+                raw.sparkSession,
+                probe["u"].tolist(),
+                probe["v"].tolist(),
+                raw.schema["u"].dataType,
             )
         if strategy == "local":
             raise ValueError(

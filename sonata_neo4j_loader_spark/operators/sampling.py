@@ -132,10 +132,15 @@ def sample_k_per_group(
         else F.xxhash64(F.col(key_col), F.lit(seed))
     )
     w = Window.partitionBy(group_col).orderBy(rank, F.col(key_col))
+    # fresh temp name: withColumn would silently REPLACE (and drop would
+    # then delete) a caller column that happens to be named the same
+    rn = "_rn"
+    while rn in df.columns:
+        rn += "_"
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .where(F.col(rn) <= k)
+        .drop(rn)
     )
 
 

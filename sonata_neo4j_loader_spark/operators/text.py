@@ -44,15 +44,19 @@ def word_ngrams(col: str = "text", n: int = 2) -> Column:
     Tokens = whitespace split; documents with fewer than ``n`` tokens
     yield an empty array (guarded explicitly: Spark's ``sequence(a, b)``
     COUNTS DOWN when a > b, so an unguarded ``sequence(0, size-n)`` on a
-    short doc would fabricate indices). Pure JVM ``transform`` over an
-    index sequence — no explode until the caller asks for one, no Python.
+    short doc would fabricate indices). Blank docs are guarded separately:
+    splitting an empty trim yields the single-element array [''], which
+    the size guard alone would admit at n=1 as a bogus empty "unigram".
+    Pure JVM ``transform`` over an index sequence — no explode until the
+    caller asks for one, no Python.
     """
-    toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    trimmed = F.trim(F.col(col))
+    toks = F.split(F.lower(trimmed), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
-    return F.when(F.size(toks) >= n, grams).otherwise(
+    return F.when((trimmed != "") & (F.size(toks) >= n), grams).otherwise(
         F.array().cast("array<string>")
     ).alias(f"word_{n}grams")
 

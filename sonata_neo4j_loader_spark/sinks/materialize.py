@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,6 +68,11 @@ class MaterializeReport:
     partitions_skipped: list[int]
     rows_written: int
     wall_ms: int
+    # committed partitions the NEW input no longer populates at all:
+    # manifest-tombstoned (row_count 0) so their stale files become
+    # invisible to read_materialized — dynamic overwrite alone cannot
+    # rewrite a partition it has zero rows for
+    partitions_vacated: list[int] = field(default_factory=list)
 
 
 def _fingerprint_col(df: DataFrame) -> F.Column:
@@ -156,6 +161,7 @@ def materialize(
     fresh = partition_fingerprints(bucketed)
 
     done = committed_partitions(spark, table_path)
+    vacated_ids: list[int] = []
     if done is not None:
         # a partition is done iff its committed fingerprint matches the
         # fingerprint of *today's* input for that partition
@@ -170,6 +176,20 @@ def materialize(
         next_seq = (
             done.agg(F.max("committed_seq")).collect()[0][0] or 0
         ) + 1
+        # committed partitions ABSENT from the new input: dynamic
+        # overwrite can only replace partitions it has rows for, so an
+        # emptied bucket keeps its stale files — tombstone it in the
+        # manifest (row_count 0) instead; read_materialized and the audit
+        # treat it as invisible, and a later input that repopulates the
+        # bucket fingerprint-mismatches the tombstone and rewrites it.
+        # row_count > 0 keeps re-runs idempotent (never re-tombstone).
+        vacated_ids = sorted(
+            r[PART_COL]
+            for r in done.where(F.col("row_count") > 0)
+            .join(fresh.select(PART_COL), PART_COL, "left_anti")
+            .select(PART_COL)
+            .collect()
+        )
     else:
         pending = fresh
         next_seq = 1
@@ -197,21 +217,26 @@ def materialize(
         )
         rows_written = sum(r["row_count"] for r in pending_rows)
 
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        manifest_rows = [
-            (
-                int(r[PART_COL]),
-                r["input_fingerprint"],
-                int(r["row_count"]),
-                wall_ms,
-                stage,
-                run_id,
-                next_seq,
-            )
-            for r in pending_rows
-        ]
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    manifest_rows = [
+        (
+            int(r[PART_COL]),
+            r["input_fingerprint"],
+            int(r["row_count"]),
+            wall_ms,
+            stage,
+            run_id,
+            next_seq,
+        )
+        for r in pending_rows
+    ] + [
+        (int(p), "<vacated>", 0, wall_ms, stage, run_id, next_seq)
+        for p in vacated_ids
+    ]
+    if manifest_rows:
         # the manifest append IS the commit point: written data only becomes
-        # visible once its manifest rows land
+        # visible once its manifest rows land (and a vacated partition's
+        # stale files only become INvisible once the tombstone lands)
         spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(_manifest_path(table_path))
@@ -224,6 +249,7 @@ def materialize(
         partitions_skipped=skipped,
         rows_written=rows_written,
         wall_ms=int((time.monotonic() - t0) * 1000),
+        partitions_vacated=vacated_ids,
     )
 
 
@@ -237,7 +263,15 @@ def read_materialized(spark: SparkSession, table_path: str) -> DataFrame:
     done = committed_partitions(spark, table_path)
     if done is None:
         raise FileNotFoundError(f"no manifest at {table_path}")
-    parts = [r[PART_COL] for r in done.select(PART_COL).distinct().collect()]
+    # a vacated partition (latest row = tombstone, row_count 0) still has
+    # stale files on disk — visibility is manifest-gated, so exclude it
+    parts = [
+        r[PART_COL]
+        for r in done.where(F.col("row_count") > 0)
+        .select(PART_COL)
+        .distinct()
+        .collect()
+    ]
     df = spark.read.parquet(table_path)
     return df.where(F.col(PART_COL).isin(parts)).drop(PART_COL)
 
@@ -257,8 +291,11 @@ def verify_against_manifest(spark: SparkSession, table_path: str) -> DataFrame:
         .groupBy(PART_COL)
         .agg(F.count(F.lit(1)).alias("actual_rows"))
     )
+    # tombstoned partitions are not visible, so their (dead) on-disk files
+    # are not drift — audit only the partitions a read would return
     return (
-        done.select(PART_COL, "row_count")
+        done.where(F.col("row_count") > 0)
+        .select(PART_COL, "row_count")
         .join(actual, PART_COL, "left")
         .where(
             F.col("actual_rows").isNull() | (F.col("actual_rows") != F.col("row_count"))

@@ -49,3 +49,28 @@ def test_cc_auto_picks_local_for_small(spark):
         for r in canonicalize.connected_components(edges, strategy="auto").collect()
     }
     assert got == EXPECTED
+
+
+def test_local_cc_preserves_id_dtype_above_double_precision(spark):
+    """The local union-find path must return the INPUT id dtype: a
+    string-typed mapping anti-joined against bigint ids coerces both
+    sides to double, and ids above 2^53 collide (distinct docs merge)."""
+    from sonata_neo4j_loader_spark.operators import canonicalize, dedup
+
+    big = 1 << 53
+    pairs = spark.createDataFrame([(big + 1, big + 2)], "id_a long, id_b long")
+    mapping = canonicalize.connected_components(pairs, "id_a", "id_b")
+    assert dict(mapping.dtypes) == {"entity_id": "bigint", "canonical_id": "bigint"}
+    assert {(r.entity_id, r.canonical_id) for r in mapping.collect()} == {
+        (big + 1, big + 1),
+        (big + 2, big + 1),
+    }
+
+    # end-to-end: survivors with >2^53 ids — big+3 is NOT a duplicate of
+    # big+2 and must survive (a double-coerced join would collapse them)
+    docs = spark.createDataFrame(
+        [(big + 1, "a"), (big + 2, "b"), (big + 3, "c")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup.near_dup_survivors(docs, pairs).collect())
+    assert kept == [big + 1, big + 3]

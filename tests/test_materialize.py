@@ -121,3 +121,37 @@ def test_fingerprint_stable_across_partitioning(spark, triples_df):
         mat.with_bucket(triples_df.repartition(17, "obj"), ["subj", "obj"], N_BUCKETS)
     )
     assert sorted(map(tuple, b1.collect())) == sorted(map(tuple, b2.collect()))
+
+
+def test_refresh_vacates_emptied_partitions(spark, tmp_path):
+    """A bucket whose rows ALL disappear from the new input cannot be
+    rewritten by dynamic overwrite (zero rows to write), so the refresh
+    must manifest-tombstone it: stale rows vanish from reads, the audit
+    stays clean, re-runs are idempotent, and a later repopulation
+    fingerprint-mismatches the tombstone and rewrites the bucket."""
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, payload string"
+    )
+    mat.materialize(v1, path, ["k"], num_buckets=4)
+
+    bucketed = mat.with_bucket(v1, ["k"], 4)
+    victim = bucketed.first()[mat.PART_COL]
+    keep = bucketed.where(F.col(mat.PART_COL) != victim).drop(mat.PART_COL)
+
+    rep = mat.materialize(keep, path, ["k"], num_buckets=4)
+    assert rep.partitions_vacated == [victim]
+    assert rep.partitions_written == []  # surviving buckets fingerprint-skip
+    kept_keys = {r.k for r in keep.collect()}
+    assert {r.k for r in mat.read_materialized(spark, path).collect()} == kept_keys
+    assert mat.verify_against_manifest(spark, path).count() == 0
+
+    # idempotent re-run: nothing re-tombstoned, nothing written
+    rep2 = mat.materialize(keep, path, ["k"], num_buckets=4)
+    assert rep2.partitions_vacated == [] and rep2.partitions_written == []
+
+    # repopulating the bucket rewrites it past the tombstone
+    rep3 = mat.materialize(v1, path, ["k"], num_buckets=4)
+    assert rep3.partitions_written == [victim]
+    assert {r.k for r in mat.read_materialized(spark, path).collect()} == set(range(40))
+    assert mat.verify_against_manifest(spark, path).count() == 0

@@ -24,6 +24,16 @@ def test_word_ngrams_short_docs_yield_empty(spark):
     assert rows[3] == ["one two"]
     assert rows[4] == ["a b", "b c"]
 
+    # n=1: blank docs must NOT fabricate an empty-string "unigram"
+    # (split of an empty trim yields [''] — size 1 passes the >= n guard)
+    uni = {
+        r.doc_id: r.g
+        for r in df.select("doc_id", text.word_ngrams("text", 1).alias("g")).collect()
+    }
+    assert uni[0] == [] and uni[1] == []
+    assert uni[2] == ["one"]
+    assert uni[4] == ["a", "b", "c"]
+
 
 def test_top_ngram_counts_plans_take_ordered(spark):
     df = spark.createDataFrame([(0, "a b a b c")], "doc_id long, text string")
