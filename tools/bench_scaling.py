@@ -295,19 +295,30 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    header = (
+        "# BENCH — scaling-efficiency evidence (north rule: >=0.8 from N to 4N)\n\n"
+        "Same KG-construction job (read -> parse -> mention-detect -> link ->\n"
+        "canonicalize -> triples -> aggregates, noop-forced) on the identical\n"
+        f"{args.docs:,}-doc interleaved corpus at two parallelism levels, fresh\n"
+        "JVM each (sandbox proxy for N vs 4N executors). Per leg: best\n"
+        f"of {rounds} interleaved rounds x min-of-2 timed runs each\n"
+        "(one-sided host noise -> the minimum is the steady-state estimate).\n\n"
+        "Level choice is hardware-audited: a pure-CPU multiprocessing probe\n"
+        "(no Spark) measures the box's own scaling ceiling first — this VM's\n"
+        "vCPUs above ~16 are overcommitted (8->32 workers speeds up only\n"
+        f"~2.6x), so the honest 4x-core range is {lo}->{hi}.\n"
+    )
+    # APPEND a dated pass to an existing record instead of clobbering it —
+    # the recorded history (which pass was the quiet-hour headline, which
+    # the congested-hour corroboration) is part of the evidence
+    exists = os.path.exists(baseline_path)
+    with open(baseline_path, "a" if exists else "w") as f:
+        if not exists:
+            f.write(header)
         f.write(
-            "# BENCH — scaling-efficiency evidence (north rule: >=0.8 from N to 4N)\n\n"
-            "Same KG-construction job (read -> parse -> mention-detect -> link ->\n"
-            "canonicalize -> triples -> aggregates, noop-forced) on the identical\n"
-            f"{args.docs:,}-doc interleaved corpus at two parallelism levels, fresh\n"
-            "JVM each (sandbox proxy for N vs 4N executors). Per leg: best\n"
-            f"of {rounds} interleaved rounds x min-of-2 timed runs each\n"
-            "(one-sided host noise -> the minimum is the steady-state estimate).\n\n"
-            "Level choice is hardware-audited: a pure-CPU multiprocessing probe\n"
-            "(no Spark) measures the box's own scaling ceiling first — this VM's\n"
-            "vCPUs above ~16 are overcommitted (8->32 workers speeds up only\n"
-            f"~2.6x), so the honest 4x-core range is {lo}->{hi}.\n\n"
+            f"\n## Pass {time.strftime('%Y-%m-%d %H:%M')} — "
+            f"{args.docs:,} docs, {lo}->{hi} cores\n\n"
             f"CPU probe wall (64 fixed busy-loop tasks): "
             + ", ".join(f"{w} workers = {s}s" for w, s in probe.items())
             + f" -> compute ceiling efficiency {ceiling:.3f}.\n"
