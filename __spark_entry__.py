@@ -1177,8 +1177,12 @@ def kg_materialized_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "subj string, pred string, obj string",
         )
         stale = attr.where(F.col("pred") != "HAS_SCLASS").unionByName(wrong)
-        mat.materialize(stale, table_dir, ["subj", "pred", "obj"], num_buckets=8)
-        refresh = mat.materialize(attr, table_dir, ["subj", "pred", "obj"], num_buckets=8)
+        # 64 buckets over ~25 rows: some buckets hold ONLY stale content,
+        # so the refresh exercises the vacated-partition tombstone path
+        # (test_materialize pins it deterministically; here the golden
+        # oracle proves the end state regardless of which buckets vacate)
+        mat.materialize(stale, table_dir, ["subj", "pred", "obj"], num_buckets=64)
+        refresh = mat.materialize(attr, table_dir, ["subj", "pred", "obj"], num_buckets=64)
         if not refresh.partitions_written:
             raise AssertionError("refresh rewrote nothing although content changed")
         if mat.verify_against_manifest(spark, table_dir).count() != 0:

@@ -22,3 +22,10 @@ def test_drained_sink_reused_within_session(spark):
     assert first.count() == again.count() > 0
     ref = entry._STREAM_SINK_CACHE["events_dedup_streamed"][0]
     assert ref() is spark  # weakref key tracks the LIVE session
+
+
+def test_minhash_pairs_memo_reused_within_session(spark):
+    a = entry.minhash_near_dups(spark, "/root/testdata/sf0.001")
+    b = entry.minhash_near_dups(spark, "/root/testdata/sf0.001")
+    assert a is b  # same persisted frame, no second LSH build
+    assert entry._MINHASH_PAIRS_CACHE[0]() is spark
