@@ -3,13 +3,24 @@
 Runs each ``__spark_entry__.queries()`` entry at sf0.01 on Spark and its
 ``oracle_sql()`` twin on DuckDB, compares row count + order-insensitive
 value content (columns sorted by name, rows sorted, values stringified
-with float rounding). Usage: python tools/check_oracles.py [name ...]
+with float rounding).
+
+Queries run on a thread pool (default 4): Spark job submission is
+thread-safe on one session, and a query's DuckDB oracle runs while other
+queries' Spark jobs execute — ~3x wall-time on the 80+-query registry.
+DuckDB connections are per-thread (the module connection is not
+thread-safe); the entry module's session-keyed memo caches are warmed
+first so concurrent cold calls don't build the fixture pipeline twice.
+
+Usage: python tools/check_oracles.py [--jobs N] [name ...]
 """
 
 from __future__ import annotations
 
 import math
 import sys
+import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import duckdb
 
@@ -53,53 +64,79 @@ def frame_signature(cols: list[str], rows: list[tuple]) -> tuple[int, list[str]]
     return len(rows), canon_rows
 
 
+_TLS = threading.local()
+
+
+def _duck() -> duckdb.DuckDBPyConnection:
+    con = getattr(_TLS, "con", None)
+    if con is None:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        _TLS.con = con
+    return con
+
+
+def _check_one(spark, name, fn, oracle_sql: str | None) -> str:
+    try:
+        sdf = fn(spark, SF_DIR)
+        srows = sdf.collect()
+        scols = sdf.columns
+    except Exception as e:  # noqa: BLE001
+        return f"FAIL  {name}: spark error: {e}"
+    if oracle_sql is None:
+        return f"rows-only  {name}: {len(srows)} rows"
+    try:
+        ddf = _duck().execute(oracle_sql)
+        dcols = [d[0] for d in ddf.description]
+        drows = ddf.fetchall()
+    except Exception as e:  # noqa: BLE001
+        return f"FAIL  {name}: duckdb error: {e}"
+    sn, ssig = frame_signature(scols, [tuple(r) for r in srows])
+    dn, dsig = frame_signature(dcols, drows)
+    if sorted(scols) != sorted(dcols):
+        return f"FAIL  {name}: columns differ: {sorted(scols)} vs {sorted(dcols)}"
+    if sn != dn:
+        return f"FAIL  {name}: row count {sn} vs {dn}"
+    if ssig != dsig:
+        diff = [(a, b) for a, b in zip(ssig, dsig, strict=True) if a != b][:3]
+        return f"FAIL  {name}: value mismatch, first diffs: {diff}"
+    return f"OK    {name}: {sn} rows match"
+
+
 def main() -> int:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    jobs = 4
+    if "--jobs" in args:
+        i = args.index("--jobs")
+        jobs = int(args[i + 1])
+        args = args[:i] + args[i + 2 :]
+    only = set(args)
     spark = get_spark(app_name="check-oracles", master="local[8]", shuffle_partitions=8)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    todo = [(n, f) for n, f in qs.items() if not only or n in only]
+    # warm the session-keyed memos so parallel cold calls don't duplicate
+    # the fixture-pipeline build (benign but wasteful)
+    if any(n.startswith("kg_") for n, _ in todo) and hasattr(entry_mod, "_kg_outputs"):
+        entry_mod._kg_outputs(spark)
+
     failures = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        try:
-            sdf = fn(spark, SF_DIR)
-            srows = sdf.collect()
-            scols = sdf.columns
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {e}")
+    if jobs <= 1:
+        results = [
+            _check_one(spark, n, f, oracles.get(n)) for n, f in todo
+        ]
+    else:
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            results = list(
+                pool.map(lambda nf: _check_one(spark, nf[0], nf[1], oracles.get(nf[0])), todo)
+            )
+    for line in results:
+        print(line)
+        if line.startswith("FAIL"):
             failures += 1
-            continue
-        if name not in oracles:
-            print(f"rows-only  {name}: {len(srows)} rows")
-            continue
-        try:
-            ddf = con.execute(oracles[name])
-            dcols = [d[0] for d in ddf.description]
-            drows = ddf.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {e}")
-            failures += 1
-            continue
-        sn, ssig = frame_signature(scols, [tuple(r) for r in srows])
-        dn, dsig = frame_signature(dcols, drows)
-        if sorted(scols) != sorted(dcols):
-            print(f"FAIL  {name}: columns differ: {sorted(scols)} vs {sorted(dcols)}")
-            failures += 1
-        elif sn != dn:
-            print(f"FAIL  {name}: row count {sn} vs {dn}")
-            failures += 1
-        elif ssig != dsig:
-            diff = [(a, b) for a, b in zip(ssig, dsig, strict=True) if a != b][:3]
-            print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
-            failures += 1
-        else:
-            print(f"OK    {name}: {sn} rows match")
     return 1 if failures else 0
 
 
