@@ -62,16 +62,26 @@ def _sink_dir(prefix: str) -> str:
 _STREAM_SINK_CACHE: dict[str, tuple[object, str]] = {}
 
 
-def _drained_sink(spark: SparkSession, name: str, drain: Callable[[str], None]) -> str:
-    """Memoized drain-to-parquet: run ``drain(sink_dir)`` once per session."""
+def _drained_sink(
+    spark: SparkSession, name: str, drain: Callable[[str], None], key: str = ""
+) -> str:
+    """Memoized drain-to-parquet: run ``drain(sink_dir)`` once per session.
+
+    ``key`` must carry any input the drain closure depends on beyond the
+    session (for the events/spike drains: ``sf_dir``) — otherwise a
+    session that re-runs the query against a different scale factor would
+    silently read the previous scale's sink. Drains whose input is
+    session-only (fixture corpus, synthesized grid) pass the default.
+    """
     import weakref
 
-    cached = _STREAM_SINK_CACHE.get(name)
+    memo_key = f"{name}|{key}"
+    cached = _STREAM_SINK_CACHE.get(memo_key)
     if cached is not None and cached[0]() is spark:
         return cached[1]
     sink = _sink_dir(f"{name}_sink_")
     drain(sink)
-    _STREAM_SINK_CACHE[name] = (weakref.ref(spark), sink)
+    _STREAM_SINK_CACHE[memo_key] = (weakref.ref(spark), sink)
     return sink
 
 
@@ -101,6 +111,17 @@ def _kg_outputs(spark: SparkSession) -> dict:
 
     ref = _KG_OUTPUTS_CACHE[0]
     if ref is None or ref() is not spark:
+        # eviction hygiene: if the displaced entry's session is STILL LIVE
+        # (two sessions alternating in one process), its persisted frames
+        # would otherwise linger for that session's lifetime — walk the
+        # outputs and unpersist. A dead session's frames need nothing.
+        if ref is not None and ref() is not None:
+            for v in _KG_OUTPUTS_CACHE[1].values():
+                for df in v if isinstance(v, list) else [v]:
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass
         docs = dg.fixture_documents(spark)
         _KG_OUTPUTS_CACHE[:] = [
             weakref.ref(spark),
@@ -927,6 +948,15 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ref = _MINHASH_PAIRS_CACHE[0]
     if ref is None or ref() is not spark or _MINHASH_PAIRS_CACHE[1] != sf_dir:
+        # evicting a same-session entry (sf_dir switch): release the old
+        # persisted frame — its session is still live, so without this the
+        # cache block would linger for the session's lifetime. A dead
+        # session's frames die with the session; nothing to do there.
+        if ref is not None and ref() is spark:
+            try:
+                _MINHASH_PAIRS_CACHE[2].unpersist()
+            except Exception:
+                pass
         docs = _t(spark, sf_dir, "documents")
         pairs = dedup.minhash_near_duplicates(
             docs, "doc_id", "text", threshold=0.6
@@ -1486,7 +1516,7 @@ def events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(src, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
 
-    sink = _drained_sink(spark, "events_sessions_streamed", drain)
+    sink = _drained_sink(spark, "events_sessions_streamed", drain, key=sf_dir)
     sess = spark.read.parquet(sink).where(
         F.col("session_start") < F.lit(sentinel_ts).cast("timestamp")
     )
@@ -1537,7 +1567,7 @@ def spike_windows_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(src, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
 
-    sink = _drained_sink(spark, "spike_windows_streamed", drain)
+    sink = _drained_sink(spark, "spike_windows_streamed", drain, key=sf_dir)
     return (
         spark.read.parquet(sink)
         .where(F.col("neuron_id") >= 0)
@@ -1581,7 +1611,7 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(src, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
 
-    sink = _drained_sink(spark, "events_dedup_streamed", drain)
+    sink = _drained_sink(spark, "events_dedup_streamed", drain, key=sf_dir)
     return spark.read.parquet(sink).select(
         F.col("event_time").cast("timestamp_ntz").alias("event_time"),
         "delivery_key",

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from sonata_neo4j_loader_spark.datagen import documents as dg  # noqa: E402
+from sonata_neo4j_loader_spark.operators import dedup  # noqa: E402
 from sonata_neo4j_loader_spark.plans import pipeline  # noqa: E402
 from sonata_neo4j_loader_spark.session import get_spark  # noqa: E402
 
@@ -47,6 +48,27 @@ HEADLINE = [
     "minhash_near_dups",
     "ann_brute_topk",
 ]
+
+
+def _cold_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.6)
+
+
+# Queries measured COLD, bypassing the entry module's session memos. The
+# registry memoizes minhash pairs so the two driver rows that consume them
+# share one build (driver-adjudication economy); a warmup+min-of-2 bench
+# over the MEMOIZED callable would time a cached 256-row read, not the
+# operator (r04's 0.109s minhash row was exactly that artifact — the real
+# cost family is ~4.5-6.5s). The cold callable builds the identical
+# LSH+verify pipeline with no persist() and no memo.
+COLD = {"minhash_near_dups": _cold_minhash}
+
+# The heaviest registry query — prefix-filtered all-pairs n-gram Jaccard
+# (~18-20s at sf0.1, would dominate the headline) — is tracked at sf0.01
+# so its cost trend is visible per round without drowning the bench.
+SMALL_SF_ROWS = {"ngram_jaccard_near_dups_sf001": "ngram_jaccard_near_dups"}
+SMALL_SF_DIR = "/root/testdata/sf0.01"
 
 # synthetic KG corpus: ~10M docs per unit sf (sf0.1 -> 1M docs) — sized so
 # steady-state throughput dominates the one-time JVM/UDF warmup in the
@@ -117,13 +139,23 @@ def main() -> None:
     # warmup pass (JVM/codegen/parquet-footer caches — noise at the
     # hours-long 100TB design point), then min of 2 timed passes
     for name in HEADLINE:
-        _force(qs[name](spark, sf_dir))
+        _force(COLD.get(name, qs[name])(spark, sf_dir))
     for _ in range(2):
         for name in HEADLINE:
             t0 = time.perf_counter()
-            _force(qs[name](spark, sf_dir))
+            _force(COLD.get(name, qs[name])(spark, sf_dir))
             wall = round(time.perf_counter() - t0, 3)
             times[name] = min(times.get(name, wall), wall)
+
+    # small-sf tracked rows (same warmup+min-of-2 methodology)
+    for label, qname in SMALL_SF_ROWS.items():
+        fn = COLD.get(qname, qs[qname])
+        _force(fn(spark, SMALL_SF_DIR))
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(fn(spark, SMALL_SF_DIR))
+            wall = round(time.perf_counter() - t0, 3)
+            times[label] = min(times.get(label, wall), wall)
 
     corpus_path, n_docs = prepare_kg_corpus(spark, sf, partitions=max(cpus, 16))
     # steady-state throughput (the 100TB design point is an hours-long job,
@@ -155,8 +187,10 @@ def main() -> None:
                 "cpus": cpus,
                 # timing methodology marker: one untimed warmup pass, then
                 # min of 2 timed passes per query and for the KG leg —
-                # numbers are NOT comparable with pre-marker bench JSONs
-                "methodology": "warmup+min-of-2",
+                # numbers are NOT comparable with pre-marker bench JSONs.
+                # minhash_near_dups bypasses the registry's session memo
+                # (measured cold); *_sf001 rows run on the sf0.01 corpus.
+                "methodology": "warmup+min-of-2;cold=minhash_near_dups;sf001=ngram_jaccard_near_dups",
             }
         )
     )

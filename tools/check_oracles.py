@@ -122,6 +122,12 @@ def main() -> int:
     # the fixture-pipeline build (benign but wasteful)
     if any(n.startswith("kg_") for n, _ in todo) and hasattr(entry_mod, "_kg_outputs"):
         entry_mod._kg_outputs(spark)
+    # same race for the minhash pair memo: two cold threads would both run
+    # the heaviest LSH+verify build and the loser's persist() would leak
+    if any(n.startswith("minhash_") for n, _ in todo) and hasattr(
+        entry_mod, "_minhash_pairs"
+    ):
+        entry_mod._minhash_pairs(spark, SF_DIR)
 
     failures = 0
     if jobs <= 1:
