@@ -1112,6 +1112,25 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, driver-adjudicated end-to-end: synthesize
+    genuine PPM-P6 / 24-bit-BMP payloads (format, dimensions and pixel
+    ramp derived from the md5 twin hash), then ``decode_image_stats``
+    parses the BYTES — header, BMP row padding, bottom-up order, BGR
+    swizzle — and emits decoded dimensions + per-channel means. The
+    DuckDB oracle recomputes every stat in closed form from the ramp
+    definition (generate_series + avg) with no decoder of its own, so a
+    decode bug anywhere shows up as a value mismatch. Channel sums are
+    exact in float64, making the means bit-deterministic cross-engine.
+    (Engine default hash is xxhash64; md5 here for the oracle twin.)"""
+    docs = _t(spark, sf_dir, "documents")
+    refs = docs.select(
+        F.format_string("img://doc/%d.png", F.col("doc_id")).alias("media_ref")
+    )
+    media = multimodal.synthesize_image_payloads(spark, refs, hash_impl="md5")
+    return multimodal.decode_image_stats(media)
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries (fixture corpus; literal-VALUES oracles)
 # ---------------------------------------------------------------------------
@@ -1777,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-certifies every query at least every other round.
     """
     return {
+        "multimodal_decoded": multimodal_decoded,
         # --- group 1: NEW this round (streaming/bucketed/union/campaign
         # contract rows) ---
         "events_sessions_streamed": events_sessions_streamed,
@@ -2751,6 +2771,37 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(greatest(1, (h % 60000 + 100) // 1000) AS INT)
                    END AS n_frames_sampled
             FROM meta
+        """,
+        # real-decode twin: the ramp byte at flat index j is (s+j)%256, so
+        # channel c's mean over w*h pixels is avg((s + 3i + c) % 256) —
+        # recomputed here by enumeration, decoder-free
+        "multimodal_decoded": """
+            WITH refs AS (
+              SELECT printf('img://doc/%d.png', doc_id) AS media_ref
+              FROM documents
+            ), meta AS (
+              SELECT media_ref,
+                     ('0x' || substr(md5(media_ref), 1, 15))::BIGINT AS h
+              FROM refs
+            ), dims AS (
+              SELECT media_ref,
+                     CASE WHEN h % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+                     CAST(h % 61 + 4 AS INT) AS width,
+                     CAST(h % 47 + 4 AS INT) AS height,
+                     h % 256 AS s
+              FROM meta
+            ), expanded AS (
+              SELECT media_ref, fmt, width, height, s,
+                     unnest(generate_series(0, width * height - 1)) AS i
+              FROM dims
+            )
+            SELECT media_ref, fmt, width, height,
+                   CAST(width AS BIGINT) * height AS n_pixels,
+                   avg((s + 3 * i) % 256) AS mean_r,
+                   avg((s + 3 * i + 1) % 256) AS mean_g,
+                   avg((s + 3 * i + 2) % 256) AS mean_b
+            FROM expanded
+            GROUP BY media_ref, fmt, width, height
         """,
         "kg_attribute_triples": _kg_attr_oracle(),
         # the stream must reproduce the batch attribute-triple set exactly
