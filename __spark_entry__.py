@@ -1067,6 +1067,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_prebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index PERSISTED through the materialize sink and queried
+    pre-built (similarity.build_ivf_index / ivf_ann_topk_prebuilt): the
+    coarse quantizer + inverted lists are written as manifest-committed
+    bucketed tables (lists bucketed BY centroid_id so a probe scans only
+    its lists' partitions), re-read through the manifest gate, and
+    queried. Adjudicated against the SAME DuckDB oracle as
+    ``ann_ivf_topk`` — the persisted index must answer identically to the
+    inline build. Build runs once per (session, sf_dir) via the drained
+    memo; re-build resume (fingerprint-skip) is pytest-pinned."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def drain(sink: str) -> None:
+        similarity.build_ivf_index(
+            emb, sink, n_centroids=16, hash_impl="md5", num_buckets=8
+        )
+
+    idx = _drained_sink(spark, "ann_ivf_prebuilt", drain, key=sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_ann_topk_prebuilt(spark, idx, queries_df, k=10, nprobe=4)
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection over a corpus with planted dups.
 
@@ -1797,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         "multimodal_decoded": multimodal_decoded,
+        "ann_ivf_prebuilt_topk": ann_ivf_prebuilt_topk,
         # --- group 1: NEW this round (streaming/bucketed/union/campaign
         # contract rows) ---
         "events_sessions_streamed": events_sessions_streamed,
@@ -2179,6 +2204,69 @@ def _kg_canonical_oracle() -> str:
         )
         SELECT n AS entity_id, min(m) AS canonical_id FROM reach GROUP BY n
     """
+
+
+# shared by ann_ivf_topk and ann_ivf_prebuilt_topk: the persisted index
+# must answer IDENTICALLY to the inline build on the same parameters
+_ANN_IVF_ORACLE = """
+            WITH emb AS (
+              SELECT vec_id,
+                     list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+              FROM embeddings
+            ), cents AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id)
+                       - 1 AS centroid_id,
+                     e AS ce
+              FROM (SELECT vec_id, e FROM emb
+                    ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id
+                    LIMIT 16)
+            ), assign AS (
+              SELECT vec_id, centroid_id FROM (
+                SELECT emb.vec_id, cents.centroid_id,
+                       row_number() OVER (PARTITION BY emb.vec_id
+                         ORDER BY
+                           list_sum(list_transform(list_zip(emb.e, cents.ce),
+                                    x -> x[1] * x[2]))
+                           / (sqrt(list_sum(list_transform(emb.e, v -> v * v)))
+                            * sqrt(list_sum(list_transform(cents.ce, v -> v * v))))
+                           DESC, cents.centroid_id ASC) AS r
+                FROM emb, cents
+              ) WHERE r = 1
+            ), probes AS (
+              SELECT query_id, centroid_id FROM (
+                SELECT emb.vec_id AS query_id, cents.centroid_id,
+                       row_number() OVER (PARTITION BY emb.vec_id
+                         ORDER BY
+                           list_sum(list_transform(list_zip(emb.e, cents.ce),
+                                    x -> x[1] * x[2]))
+                           / (sqrt(list_sum(list_transform(emb.e, v -> v * v)))
+                            * sqrt(list_sum(list_transform(cents.ce, v -> v * v))))
+                           DESC, cents.centroid_id ASC) AS r
+                FROM emb, cents WHERE emb.vec_id < 5
+              ) WHERE r <= 4
+            ), cand AS (
+              SELECT DISTINCT p.query_id, a.vec_id
+              FROM probes p JOIN assign a USING (centroid_id)
+              WHERE a.vec_id <> p.query_id
+            ), scored AS (
+              SELECT cand.query_id, cand.vec_id,
+                     list_sum(list_transform(list_zip(qe.e, ce.e),
+                              x -> x[1] * x[2]))
+                     / (sqrt(list_sum(list_transform(qe.e, v -> v * v)))
+                      * sqrt(list_sum(list_transform(ce.e, v -> v * v))))
+                       AS rawcos
+              FROM cand
+              JOIN emb qe ON qe.vec_id = cand.query_id
+              JOIN emb ce ON ce.vec_id = cand.vec_id
+            )
+            SELECT query_id, vec_id, cos, rank FROM (
+              SELECT query_id, vec_id, round(rawcos, 6) AS cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(rawcos, 6) DESC, vec_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2685,65 +2773,8 @@ def oracle_sql() -> dict[str, str]:
         # IVF md5 twin: centroid pick by md5(id) rank, nprobe=1 corpus
         # assignment / nprobe=4 query probes by unrounded cosine
         # (tie-break centroid_id), in-list rounded-cosine re-rank.
-        "ann_ivf_topk": """
-            WITH emb AS (
-              SELECT vec_id,
-                     list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
-              FROM embeddings
-            ), cents AS (
-              SELECT row_number() OVER (
-                       ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id)
-                       - 1 AS centroid_id,
-                     e AS ce
-              FROM (SELECT vec_id, e FROM emb
-                    ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id
-                    LIMIT 16)
-            ), assign AS (
-              SELECT vec_id, centroid_id FROM (
-                SELECT emb.vec_id, cents.centroid_id,
-                       row_number() OVER (PARTITION BY emb.vec_id
-                         ORDER BY
-                           list_sum(list_transform(list_zip(emb.e, cents.ce),
-                                    x -> x[1] * x[2]))
-                           / (sqrt(list_sum(list_transform(emb.e, v -> v * v)))
-                            * sqrt(list_sum(list_transform(cents.ce, v -> v * v))))
-                           DESC, cents.centroid_id ASC) AS r
-                FROM emb, cents
-              ) WHERE r = 1
-            ), probes AS (
-              SELECT query_id, centroid_id FROM (
-                SELECT emb.vec_id AS query_id, cents.centroid_id,
-                       row_number() OVER (PARTITION BY emb.vec_id
-                         ORDER BY
-                           list_sum(list_transform(list_zip(emb.e, cents.ce),
-                                    x -> x[1] * x[2]))
-                           / (sqrt(list_sum(list_transform(emb.e, v -> v * v)))
-                            * sqrt(list_sum(list_transform(cents.ce, v -> v * v))))
-                           DESC, cents.centroid_id ASC) AS r
-                FROM emb, cents WHERE emb.vec_id < 5
-              ) WHERE r <= 4
-            ), cand AS (
-              SELECT DISTINCT p.query_id, a.vec_id
-              FROM probes p JOIN assign a USING (centroid_id)
-              WHERE a.vec_id <> p.query_id
-            ), scored AS (
-              SELECT cand.query_id, cand.vec_id,
-                     list_sum(list_transform(list_zip(qe.e, ce.e),
-                              x -> x[1] * x[2]))
-                     / (sqrt(list_sum(list_transform(qe.e, v -> v * v)))
-                      * sqrt(list_sum(list_transform(ce.e, v -> v * v))))
-                       AS rawcos
-              FROM cand
-              JOIN emb qe ON qe.vec_id = cand.query_id
-              JOIN emb ce ON ce.vec_id = cand.vec_id
-            )
-            SELECT query_id, vec_id, cos, rank FROM (
-              SELECT query_id, vec_id, round(rawcos, 6) AS cos,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY round(rawcos, 6) DESC, vec_id ASC) AS rank
-              FROM scored
-            ) WHERE rank <= 10
-        """,
+        "ann_ivf_topk": _ANN_IVF_ORACLE,
+        "ann_ivf_prebuilt_topk": _ANN_IVF_ORACLE,
         "kg_dynamic_labels": _kg_dynamic_labels_oracle(),
         "kg_edge_population_parse": _kg_edge_pop_parse_oracle(),
         "kg_canonical_map": _kg_canonical_oracle(),

@@ -99,3 +99,47 @@ def test_embedding_near_dup_hot_bucket_bound(spark):
     }
     assert bounded & cluster_pairs == set()
     assert bounded == exact - cluster_pairs
+
+
+def test_prebuilt_index_build_query_resume(spark, emb, tmp_path_factory):
+    # build → query must equal the inline ivf_ann_topk; re-build must
+    # fingerprint-skip every partition (resume contract through the sink)
+    idx = str(tmp_path_factory.mktemp("ivf_idx"))
+    reports = similarity.build_ivf_index(emb, idx, n_centroids=16, num_buckets=8)
+    assert reports["lists"].rows_written > 0
+    assert reports["centroids"].rows_written == 16
+
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inline = similarity.ivf_ann_topk(emb, q, k=10, n_centroids=16, nprobe=4).collect()
+    prebuilt = similarity.ivf_ann_topk_prebuilt(spark, idx, q, k=10, nprobe=4).collect()
+    assert sorted(map(tuple, prebuilt)) == sorted(map(tuple, inline))
+    # pruning is a scan lever, not a semantics lever
+    unpruned = similarity.ivf_ann_topk_prebuilt(
+        spark, idx, q, k=10, nprobe=4, prune_lists=False
+    ).collect()
+    assert sorted(map(tuple, unpruned)) == sorted(map(tuple, inline))
+
+    again = similarity.build_ivf_index(emb, idx, n_centroids=16, num_buckets=8)
+    assert again["lists"].rows_written == 0 and not again["lists"].partitions_written
+    assert again["centroids"].rows_written == 0
+
+
+def test_prebuilt_prune_scans_only_probed_buckets(spark, emb, tmp_path_factory):
+    # the plan's parquet scan must carry a part-IN filter covering ONLY the
+    # probed lists' buckets (file-level pruning — the 100-TB query cost)
+    idx = str(tmp_path_factory.mktemp("ivf_idx2"))
+    similarity.build_ivf_index(emb, idx, n_centroids=16, num_buckets=8)
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = similarity.ivf_ann_topk_prebuilt(spark, idx, q, k=5, nprobe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"part#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    n_parts = len(m.group(1).split(","))
+    # 2 queries × nprobe=1 → at most 2 distinct buckets scanned (of 8)
+    assert n_parts <= 2
