@@ -413,6 +413,23 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.funnel_counts(ev, ["signup", "click", "purchase"])
 
 
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (behavior.funnel_counts with
+    ``conversion_window``): each step must land within 3 days of the
+    previous step's first-touch completion (prev_t < ts <= prev_t + 3d) —
+    the "purchase within N days of click" report. Same k user-keyed
+    chained min-aggs as the unbounded funnel, just a bounded join
+    predicate; at sf0.01 the bound genuinely bites (150→128→89 users vs
+    150→150→150 unbounded). Exact chained-CTE oracle with the interval
+    bound."""
+    from sonata_neo4j_loader_spark.operators import behavior
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior.funnel_counts(
+        ev, ["signup", "click", "purchase"], conversion_window="3 days"
+    )
+
+
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohort matrix (operators/behavior.py
     ``retention_cohorts``): cohort = Monday-truncated week of first
@@ -1822,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "multimodal_decoded": multimodal_decoded,
         "ann_ivf_prebuilt_topk": ann_ivf_prebuilt_topk,
+        "events_funnel_windowed": events_funnel_windowed,
         # --- group 1: NEW this round (streaming/bucketed/union/campaign
         # contract rows) ---
         "events_sessions_streamed": events_sessions_streamed,
@@ -2882,6 +2900,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.user_id, min(e.ts) AS t
               FROM events e JOIN s1 ON e.user_id = s1.user_id
               WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1
+            )
+            SELECT CAST(0 AS INT) AS step_index, 'signup' AS step,
+                   (SELECT count(*) FROM s0) AS n_users
+            UNION ALL
+            SELECT CAST(1 AS INT), 'click', (SELECT count(*) FROM s1)
+            UNION ALL
+            SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
+        """,
+        "events_funnel_windowed": """
+            WITH s0 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY 1
+            ), s1 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s0 ON e.user_id = s0.user_id
+              WHERE e.event_type = 'click'
+                AND e.ts > s0.t AND e.ts <= s0.t + INTERVAL 3 DAY
+              GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'purchase'
+                AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 3 DAY
+              GROUP BY 1
             )
             SELECT CAST(0 AS INT) AS step_index, 'signup' AS step,
                    (SELECT count(*) FROM s0) AS n_users

@@ -24,6 +24,7 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    conversion_window: str | None = None,
 ) -> DataFrame:
     """Ordered-step funnel: users completing each prefix of ``steps``.
 
@@ -32,6 +33,15 @@ def funnel_counts(
     the earliest such event — the standard first-touch funnel). Output:
     one row per step, ``(step_index, step, n_users)``, monotonically
     non-increasing in users.
+
+    ``conversion_window`` (an SQL interval body, e.g. ``"3 days"``)
+    bounds each transition: step k must land within that interval of the
+    step-k-1 completion time (``prev_t < ts <= prev_t + window``) — the
+    "purchase within N days of click" funnel. First-touch stays greedy:
+    each step's completion time is the EARLIEST qualifying event, even
+    when a later in-window event of step k would leave more room for
+    step k+1 (the industry-standard semantics; a backtracking match is a
+    different, quadratic operator). ``None`` keeps transitions unbounded.
 
     Plan shape: one filtered per-user min-aggregation per step, chained
     by an equi join on the user — k steps = k map-side-combined shuffles
@@ -51,7 +61,13 @@ def funnel_counts(
         if reached is None:
             hits = ev
         else:
-            hits = ev.join(reached, user_col).where(F.col("_ev_ts") > F.col("_t"))
+            in_order = F.col("_ev_ts") > F.col("_t")
+            if conversion_window is not None:
+                in_order = in_order & (
+                    F.col("_ev_ts")
+                    <= F.col("_t") + F.expr(f"INTERVAL {conversion_window}")
+                )
+            hits = ev.join(reached, user_col).where(in_order)
         reached = hits.groupBy(user_col).agg(F.min("_ev_ts").alias("_t"))
         # global agg, not a groupBy over literals: a step NO user reaches
         # must still emit its (step, 0) row, and an un-grouped agg returns
