@@ -1828,79 +1828,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     1. queries NEW or CODE-CHANGED this round (must be re-adjudicated);
     2. queries whose last green row is OLDEST (longest-stale first —
-       this round: the 19 TPC-H queries last adjudicated in r02);
-    3. last-round-green queries fill the remaining slots; the ~25 that
-       overflow past position 50 ride on their fresh row and LEAD the
-       next round's group 2.
+       this round: the 34 r03-green queries held out in r04, now exactly
+       2 rounds stale);
+    3. last-round-green queries fill any remaining slots; the overflow
+       past position 50 rides on its fresh row and LEADS the next
+       round's group 2.
 
-    With an 84-query registry and a 50-row window, the rotation
+    r05 window: 3 new + 13 changed + 34 stale = exactly 50 — zero fill
+    slots. With an 87-query registry and a 50-row window, the rotation
     re-certifies every query at least every other round.
     """
     return {
+        # --- group 1 (r05): NEW this round ---
         "multimodal_decoded": multimodal_decoded,
         "ann_ivf_prebuilt_topk": ann_ivf_prebuilt_topk,
         "events_funnel_windowed": events_funnel_windowed,
-        # --- group 1: NEW this round (streaming/bucketed/union/campaign
-        # contract rows) ---
+        # --- group 1 (r05): code changed this round (multimodal decode
+        # kernels, IVF tail refactor, funnel window param, memo eviction /
+        # _drained_sink key signature touched every drain consumer) ---
+        "multimodal_features": multimodal_features,
+        "ann_ivf_topk": ann_ivf_topk,
+        "events_funnel": events_funnel,
+        "events_retention": events_retention,
+        "minhash_near_dups": minhash_near_dups,
+        "minhash_dup_survivors": minhash_dup_survivors,
         "events_sessions_streamed": events_sessions_streamed,
         "spike_windows_streamed": spike_windows_streamed,
         "events_dedup_streamed": events_dedup_streamed,
-        "events_asof_signup_bucketed": events_asof_signup_bucketed,
-        "populations_union": populations_union,
-        "campaign_grid": campaign_grid,
+        "kg_streaming_incremental": kg_streaming_incremental,
         "kg_materialized_attr": kg_materialized_attr,
         "kg_materialized_refresh": kg_materialized_refresh,
-        "kg_dry_run_gate": kg_dry_run_gate,
-        "top_bigrams": top_bigrams,
-        "word_token_stats": word_token_stats,
-        "minhash_dup_survivors": minhash_dup_survivors,
-        "events_funnel": events_funnel,
-        "events_retention": events_retention,
-        "stratified_docs_by_lang": stratified_docs_by_lang,
-        # --- group 1: code changed this round (prefix-filtered posting
-        # index; minhash rides along as the family's heaviest query even
-        # though its shingle-sharing lever was measured and rejected) ---
-        "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
-        "minhash_near_dups": minhash_near_dups,
-        # --- group 2: last green in r02 (stale) — TPC-H q3..q22 ---
-        "q3_unshipped_orders": q3_unshipped_orders,
-        "q4_order_priority": q4_order_priority,
-        "q5_nation_revenue": q5_nation_revenue,
-        "q6_revenue_change": q6_revenue_change,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_items": q10_returned_items,
-        "q12_shipping_delay_classes": q12_shipping_delay_classes,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_share": q14_promo_share,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_variety": q16_supplier_variety,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q20_bulk_suppliers": q20_bulk_suppliers,
-        "q21_late_sole_suppliers": q21_late_sole_suppliers,
-        "q22_dormant_rich_customers": q22_dormant_rich_customers,
-        # --- group 3: r03-green fill (positions ~28-50) — biased toward
-        # queries touching code edited this round (streaming sink memo,
-        # _spread, bucket bounds) ---
-        "kg_streaming_incremental": kg_streaming_incremental,
-        "simhash_near_dups": simhash_near_dups,
-        "embedding_near_dups": embedding_near_dups,
-        "corpus_prep_survivors": corpus_prep_survivors,
-        "dedup_exact_groups": dedup_exact_groups,
-        "sampled_docs_hash": sampled_docs_hash,
-        "sampled_docs_exact_k": sampled_docs_exact_k,
-        "text_stats": text_stats,
-        "doc_fingerprints": doc_fingerprints,
-        "lang_distribution": lang_distribution,
-        "ann_brute_topk": ann_brute_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "multimodal_features": multimodal_features,
-        # --- past position 50: r03-green held out this round; these LEAD
-        # group 2 next round (their certification is then 2 rounds old) ---
+        "campaign_grid": campaign_grid,
+        # --- group 2 (r05): last green in r03 — the 34 held-out queries,
+        # now exactly 2 rounds stale, per the rotation invariant ---
         "events_sessions": events_sessions,
         "events_asof_signup": events_asof_signup,
         "events_range_join": events_range_join,
@@ -1935,6 +1895,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nations_customers_only": nations_customers_only,
         "q1_pricing_summary": q1_pricing_summary,
         "q2_min_price_supplier": q2_min_price_supplier,
+        # --- past position 50: r04-green held out this round; these LEAD
+        # group 2 next round (their certification is then 2 rounds old) ---
+        "q3_unshipped_orders": q3_unshipped_orders,
+        "q4_order_priority": q4_order_priority,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q6_revenue_change": q6_revenue_change,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q12_shipping_delay_classes": q12_shipping_delay_classes,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_share": q14_promo_share,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_variety": q16_supplier_variety,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q20_bulk_suppliers": q20_bulk_suppliers,
+        "q21_late_sole_suppliers": q21_late_sole_suppliers,
+        "q22_dormant_rich_customers": q22_dormant_rich_customers,
+        "top_bigrams": top_bigrams,
+        "word_token_stats": word_token_stats,
+        "stratified_docs_by_lang": stratified_docs_by_lang,
+        "events_asof_signup_bucketed": events_asof_signup_bucketed,
+        "populations_union": populations_union,
+        "kg_dry_run_gate": kg_dry_run_gate,
+        "simhash_near_dups": simhash_near_dups,
+        "embedding_near_dups": embedding_near_dups,
+        "corpus_prep_survivors": corpus_prep_survivors,
+        "dedup_exact_groups": dedup_exact_groups,
+        "sampled_docs_hash": sampled_docs_hash,
+        "sampled_docs_exact_k": sampled_docs_exact_k,
+        "text_stats": text_stats,
+        "doc_fingerprints": doc_fingerprints,
+        "lang_distribution": lang_distribution,
+        "ann_brute_topk": ann_brute_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
     }
 
 
