@@ -401,6 +401,34 @@ def word_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style cleaning rules (operators/text.py
+    ``quality_rule_flags``): word-count band, mean-word-length band,
+    repeated-word and repeated-trigram fractions — per-doc stats + one
+    boolean per rule + the conjunction, all pure JVM column expressions
+    (map-only, no shuffle). Thresholds chosen so every rule BITES on
+    this corpus (word-count and mean-word-length bands each reject a
+    real subset; repetition fracs span 0–0.72). Exact DuckDB list-twin
+    oracle; fractions round(6) both sides (exact int-ratio doubles)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_rule_flags(docs)
+
+
+def packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LM training (operators/packing.py
+    ``packed_documents``): docs in doc_id order, whitespace-token
+    budget 256 per bin, boundary-overflow greedy semantics
+    (bin = floor(exclusive_prefix/budget)). The distributed part is the
+    global exclusive prefix sum — range partition + in-partition window
+    + broadcast partition offsets, never a corpus-wide single-partition
+    window (the plan is pytest-pinned). Exact ANSI window-frame oracle."""
+    from sonata_neo4j_loader_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text.token_count("text").alias("n_tokens"))
+    return packing.packed_documents(toks, budget=256)
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step conversion funnel (operators/behavior.py
     ``funnel_counts``): users whose first signup precedes a later click
@@ -1679,6 +1707,55 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-adjudicated STREAM-STREAM JOIN row (streaming/joins.py):
+    the click stream and the purchase stream (two readStream sources
+    split from events) inner-join on user within a 3-hour attribution
+    window — watermarks both sides + the time-range predicate keep the
+    join state bounded. Inner joins emit eagerly, so the availableNow
+    drain must equal the batch interval join exactly; the oracle is
+    that batch join in SQL. NTZ ts → LTZ into the stream, LTZ → NTZ on
+    read-back (exact round-trip on this UTC box)."""
+    from sonata_neo4j_loader_spark.streaming import joins as streaming_joins
+
+    def drain(sink: str) -> None:
+        import shutil
+        import tempfile
+
+        clicks_dir = tempfile.mkdtemp(prefix="stream_join_clicks_")
+        purch_dir = tempfile.mkdtemp(prefix="stream_join_purch_")
+        ckpt = tempfile.mkdtemp(prefix="stream_join_ckpt_")
+        try:
+            ev = _t(spark, sf_dir, "events").select(
+                F.col("ts").cast("timestamp").alias("event_time"),
+                "user_id",
+                "event_id",
+                "event_type",
+            )
+            ev.where(F.col("event_type") == "click").drop("event_type").write.mode(
+                "overwrite"
+            ).parquet(clicks_dir)
+            ev.where(F.col("event_type") == "purchase").drop("event_type").write.mode(
+                "overwrite"
+            ).parquet(purch_dir)
+            streaming_joins.run_attribution_to_parquet(
+                spark, clicks_dir, purch_dir, sink, ckpt, window="3 hours"
+            )
+        finally:
+            shutil.rmtree(clicks_dir, ignore_errors=True)
+            shutil.rmtree(purch_dir, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    sink = _drained_sink(spark, "events_stream_join", drain, key=sf_dir)
+    return spark.read.parquet(sink).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.col("click_time").cast("timestamp_ntz").alias("click_time"),
+        F.col("purchase_time").cast("timestamp_ntz").alias("purchase_time"),
+    )
+
+
 def populations_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-schema population union (operators/populations.py ≙ the
     reference's per-population ``pd.concat`` with NaN fill,
@@ -1834,12 +1911,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        past position 50 rides on its fresh row and LEADS the next
        round's group 2.
 
-    r05 window: 3 new + 13 changed + 34 stale = exactly 50 — zero fill
-    slots. With an 87-query registry and a 50-row window, the rotation
-    re-certifies every query at least every other round.
+    r05 window: 6 new + 10 changed + 34 stale = exactly 50 — zero fill
+    slots (three r04-green rows whose function bodies are unchanged —
+    events_retention, campaign_grid, kg_streaming_incremental — ride on
+    their fresh row to make room; the full local oracle gate still
+    covers them). With a 90-query registry and a 50-row window, the
+    rotation re-certifies every query at least every other round.
     """
     return {
         # --- group 1 (r05): NEW this round ---
+        "doc_quality_flags": doc_quality_flags,
+        "packed_docs": packed_docs,
+        "events_stream_join": events_stream_join,
         "multimodal_decoded": multimodal_decoded,
         "ann_ivf_prebuilt_topk": ann_ivf_prebuilt_topk,
         "events_funnel_windowed": events_funnel_windowed,
@@ -1849,16 +1932,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "ann_ivf_topk": ann_ivf_topk,
         "events_funnel": events_funnel,
-        "events_retention": events_retention,
         "minhash_near_dups": minhash_near_dups,
         "minhash_dup_survivors": minhash_dup_survivors,
         "events_sessions_streamed": events_sessions_streamed,
         "spike_windows_streamed": spike_windows_streamed,
         "events_dedup_streamed": events_dedup_streamed,
-        "kg_streaming_incremental": kg_streaming_incremental,
         "kg_materialized_attr": kg_materialized_attr,
         "kg_materialized_refresh": kg_materialized_refresh,
-        "campaign_grid": campaign_grid,
         # --- group 2 (r05): last green in r03 — the 34 held-out queries,
         # now exactly 2 rounds stale, per the rotation invariant ---
         "events_sessions": events_sessions,
@@ -1897,6 +1977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_price_supplier": q2_min_price_supplier,
         # --- past position 50: r04-green held out this round; these LEAD
         # group 2 next round (their certification is then 2 rounds old) ---
+        "events_retention": events_retention,
+        "campaign_grid": campaign_grid,
+        "kg_streaming_incremental": kg_streaming_incremental,
         "q3_unshipped_orders": q3_unshipped_orders,
         "q4_order_priority": q4_order_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -2906,6 +2989,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(1 AS INT), 'click', (SELECT count(*) FROM s1)
             UNION ALL
             SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
+        """,
+        # the streamed attribution join must equal the batch interval join
+        "events_stream_join": """
+            SELECT c.user_id,
+                   c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   c.ts AS click_time,
+                   p.ts AS purchase_time
+            FROM events c
+            JOIN events p ON p.user_id = c.user_id
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+              AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 3 HOUR
+        """,
+        # exact twin of packed_documents: same whitespace token count, the
+        # prefix sum as a standard window frame (the Spark side computes it
+        # distributed; the VALUES are partitioning-independent)
+        "packed_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens
+              FROM documents
+            ), p AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS prefix
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   prefix // 256 AS bin_id,
+                   prefix % 256 AS bin_offset
+            FROM p
+        """,
+        # list-twin of quality_rule_flags: same tokenization (lowercased
+        # whitespace split, blank guard), same trigram join, same round(6)
+        "doc_quality_flags": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                     END AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(generate_series(1, len(toks) - 2),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                          ELSE []::VARCHAR[] END AS tri
+              FROM t
+            ), s AS (
+              SELECT doc_id,
+                     len(toks) AS n_words,
+                     round(CASE WHEN len(toks) > 0
+                           THEN list_sum(list_transform(toks,
+                                  x -> CAST(length(x) AS DOUBLE))) / len(toks)
+                           ELSE 0.0 END, 6) AS mean_word_len,
+                     round(CASE WHEN len(toks) > 0
+                           THEN 1.0 - len(list_distinct(toks))
+                                      / CAST(len(toks) AS DOUBLE)
+                           ELSE 0.0 END, 6) AS dup_word_frac,
+                     round(CASE WHEN len(tri) > 0
+                           THEN 1.0 - len(list_distinct(tri))
+                                      / CAST(len(tri) AS DOUBLE)
+                           ELSE 0.0 END, 6) AS dup_trigram_frac
+              FROM g
+            )
+            SELECT doc_id, n_words, mean_word_len, dup_word_frac,
+                   dup_trigram_frac,
+                   n_words BETWEEN 20 AND 1000 AS ok_word_count,
+                   mean_word_len BETWEEN 3.8 AND 5.0 AS ok_mean_word_len,
+                   dup_word_frac <= 0.6 AS ok_dup_words,
+                   dup_trigram_frac <= 0.05 AS ok_dup_trigrams,
+                   (n_words BETWEEN 20 AND 1000)
+                     AND (mean_word_len BETWEEN 3.8 AND 5.0)
+                     AND dup_word_frac <= 0.6
+                     AND dup_trigram_frac <= 0.05 AS quality_pass
+            FROM s
         """,
         "events_funnel_windowed": """
             WITH s0 AS (

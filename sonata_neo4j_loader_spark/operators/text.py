@@ -167,3 +167,86 @@ def add_shingles(
         .withColumn(out_col, shingle_expr("__norm", k))
         .drop("__norm")
     )
+
+
+def dup_ngram_fraction(col: str = "text", n: int = 1) -> Column:
+    """Repeated-n-gram fraction: 1 − distinct/total word n-grams (0 for
+    docs too short to have any) — the repetition signal behind the
+    Gopher/C4-style "repeated lines / repeated n-grams" cleaning rules.
+    Pure JVM array expressions on top of :func:`word_ngrams`."""
+    grams = word_ngrams(col, n)
+    total = F.size(grams)
+    return (
+        F.when(
+            total > 0,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias(f"dup_{n}gram_frac")
+    )
+
+
+def mean_word_length(col: str = "text") -> Column:
+    """Mean character length of whitespace words (0 for blank docs)."""
+    toks = word_ngrams(col, 1)
+    return (
+        F.when(
+            F.size(toks) > 0,
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / F.size(toks).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len")
+    )
+
+
+def quality_rule_flags(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 1000,
+    max_dup_word_frac: float = 0.6,
+    max_dup_trigram_frac: float = 0.05,
+    min_mean_word_len: float = 3.8,
+    max_mean_word_len: float = 5.0,
+):
+    """Gopher-style document cleaning rules as per-doc boolean flags.
+
+    The rule family follows Rae et al. 2021 (Gopher, §A1.1: word-count
+    band, mean-word-length band, repetition fractions) re-expressed as
+    pure JVM column expressions — one projection, no shuffle, no Python;
+    at corpus scale this is a map-only stage that composes with any
+    downstream filter. Emits the measured stats (rounded for
+    cross-engine hashing), one flag per rule, and the conjunction
+    ``quality_pass`` — emitting flags rather than filtering keeps the
+    rejection REASONS, which is what a training-data pipeline audits.
+    """
+    nw = F.size(word_ngrams(text_col, 1))
+    stats = df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        F.round(mean_word_length(text_col), 6).alias("mean_word_len"),
+        F.round(dup_ngram_fraction(text_col, 1), 6).alias("dup_word_frac"),
+        F.round(dup_ngram_fraction(text_col, 3), 6).alias("dup_trigram_frac"),
+    )
+    flagged = stats.select(
+        "*",
+        F.col("n_words").between(min_words, max_words).alias("ok_word_count"),
+        F.col("mean_word_len")
+        .between(min_mean_word_len, max_mean_word_len)
+        .alias("ok_mean_word_len"),
+        (F.col("dup_word_frac") <= max_dup_word_frac).alias("ok_dup_words"),
+        (F.col("dup_trigram_frac") <= max_dup_trigram_frac).alias("ok_dup_trigrams"),
+    )
+    return flagged.select(
+        "*",
+        (
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_dup_words")
+            & F.col("ok_dup_trigrams")
+        ).alias("quality_pass"),
+    )

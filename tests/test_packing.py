@@ -1,0 +1,72 @@
+"""Distributed sequence packing: prefix-sum correctness + plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sonata_neo4j_loader_spark.operators import packing
+
+
+def _docs(spark, n=5000):
+    # deterministic pseudo-random token counts, unique ordering key
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(97)) + 1).cast("int").alias("n_tokens"),
+    )
+
+
+def test_prefix_sum_matches_naive_and_parallelism_invariant(spark):
+    docs = _docs(spark)
+    naive = docs.withColumn(
+        "prefix",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    expected = {(r.doc_id, r.prefix) for r in naive.collect()}
+    for nparts in (1, 3, 16):
+        got = packing.exclusive_prefix_sum(
+            docs, "doc_id", "n_tokens", num_partitions=nparts, out_col="prefix"
+        )
+        assert {(r.doc_id, r.prefix) for r in got.collect()} == expected, nparts
+
+
+def test_packed_documents_bins(spark):
+    docs = _docs(spark, n=500)
+    out = packing.packed_documents(docs, budget=256, num_partitions=4).collect()
+    rows = sorted(out, key=lambda r: r.doc_id)
+    prefix = 0
+    for r in rows:
+        assert r.bin_id == prefix // 256
+        assert r.bin_offset == prefix % 256
+        prefix += r.n_tokens
+    # bins fill contiguously: every bin id up to the last occurs
+    bins = {r.bin_id for r in rows}
+    assert bins == set(range(max(bins) + 1))
+
+
+def test_packed_documents_rejects_bad_budget(spark):
+    with pytest.raises(ValueError, match="budget"):
+        packing.packed_documents(_docs(spark, 10), budget=0)
+
+
+def test_prefix_sum_plan_partitions_the_corpus_window(spark):
+    # the corpus-wide window must run INSIDE the range partitions (keyed on
+    # _pid); the only unpartitioned window allowed is the dimension-sized
+    # per-partition-totals scan. A corpus-scale `Window.orderBy` with no
+    # partition spec would funnel 10^12 rows through one reducer.
+    docs = _docs(spark)
+    got = packing.exclusive_prefix_sum(docs, "doc_id", "n_tokens", num_partitions=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window \[[^\]]*\](?:, \[[^\]]*\])*", plan)
+    assert any("_pid" in w for w in windows), plan
+    # the unpartitioned window's input is the Aggregate over _pid totals,
+    # visible in-plan as the HashAggregate feeding it
+    assert "HashAggregate" in plan
