@@ -526,10 +526,12 @@ def prefix_index(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
     # t·n upward (a too-large ceil would shorten the prefix and lose pairs;
     # a one-longer prefix merely admits extra candidates the exact verify
     # rejects)
+    # `n` (the doc's distinct-shingle count) rides along so the caller can
+    # apply the AllPairs SIZE filter inside the posting join
     return ranked.where(
         F.col("rn")
         <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9)) + 1
-    ).select(F.col(id_col), "shingle")
+    ).select(F.col(id_col), "shingle", "n")
 
 
 def ngram_jaccard_pairs(
@@ -569,11 +571,19 @@ def ngram_jaccard_pairs(
         _spread(df.select(F.col(id_col), text_col), id_col), text_col, shingle_k
     ).select(id_col, "shingles")
     prefix = prefix_index(sh, id_col, threshold)
-    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
-    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle", F.col("n").alias("n_a"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle", F.col("n").alias("n_b"))
+    # AllPairs SIZE filter, applied inside the posting join: m ≤ min(|A|,|B|)
+    # and union ≥ max(|A|,|B|) give J ≤ min/max, so J ≥ t forces
+    # min(|A|,|B|) ≥ t·max(|A|,|B|). Lossless (1e-9 slack admits the
+    # boundary; the exact verify rejects any extras) — it prunes candidate
+    # pairs BEFORE the distinct and the array_intersect verify.
+    size_ok = (
+        F.col("n_a") >= F.col("n_b") * F.lit(threshold) - F.lit(1e-9)
+    ) & (F.col("n_b") >= F.col("n_a") * F.lit(threshold) - F.lit(1e-9))
     cands = (
         a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where((F.col("id_a") < F.col("id_b")) & size_ok)
         .select("id_a", "id_b")
         .distinct()
     )
