@@ -188,7 +188,13 @@ def _worker(cpus: int, corpus: str, n_docs: int) -> None:
 
 
 def _ensure_corpus(n_docs: int) -> str:
-    path = f"/tmp/kg_scaling_corpus_{n_docs}"
+    # v2 marker mirrors bench.py's corpus-cache versioning: the round-4
+    # grammar change (8-span node docs with property spans) must
+    # invalidate stale corpora, or the scaling legs silently measure the
+    # old, lighter workload (which r02–r05 passes did — efficiency ratios
+    # were unaffected, same corpus at both levels, but their docs/s are
+    # NOT comparable with bench.py's v2 numbers)
+    path = f"/tmp/kg_scaling_corpus_v2_{n_docs}"
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     from sonata_neo4j_loader_spark.datagen import documents as dg
