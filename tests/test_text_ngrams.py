@@ -48,3 +48,30 @@ def test_top_ngram_counts_values(spark):
     )
     got = [(r.ngram, r.n_occurrences) for r in text.top_ngram_counts(df, 2, 3).collect()]
     assert got == [("the cat", 3), ("cat sat", 2), ("cat ran", 1)]
+
+
+def test_quality_rule_flags_semantics_and_plan(spark):
+    from sonata_neo4j_loader_spark.operators.text import quality_rule_flags
+
+    rows = [
+        (1, " ".join(f"word{i}" for i in range(40))),  # clean: 40 distinct
+        (2, "spam spam spam spam spam " * 8),       # degenerate repetition
+        (3, "a b"),                                  # too short
+        (4, ""),                                     # blank
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_rule_flags(
+        df, min_words=5, max_words=100, max_dup_word_frac=0.5,
+        max_dup_trigram_frac=0.5, min_mean_word_len=1.0, max_mean_word_len=10.0,
+    ).collect()}
+    assert out[1].quality_pass
+    assert not out[2].ok_dup_words and not out[2].quality_pass
+    assert not out[3].ok_word_count
+    assert out[4].n_words == 0 and out[4].dup_word_frac == 0.0
+    # repetition math: doc 2 has 40 tokens, 1 distinct -> dup 39/40
+    assert out[2].dup_word_frac == round(1 - 1 / 40, 6)
+    # the whole operator is ONE map-only projection: no shuffle may appear
+    plan = (
+        quality_rule_flags(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
