@@ -993,11 +993,12 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ref = _MINHASH_PAIRS_CACHE[0]
     if ref is None or ref() is not spark or _MINHASH_PAIRS_CACHE[1] != sf_dir:
-        # evicting a same-session entry (sf_dir switch): release the old
-        # persisted frame — its session is still live, so without this the
-        # cache block would linger for the session's lifetime. A dead
+        # eviction hygiene (same rule as _kg_outputs): if the displaced
+        # entry's session is STILL LIVE — same-session sf_dir switch OR two
+        # sessions alternating in one process — release its persisted frame,
+        # or the cache block lingers for that session's lifetime. A dead
         # session's frames die with the session; nothing to do there.
-        if ref is not None and ref() is spark:
+        if ref is not None and ref() is not None:
             try:
                 _MINHASH_PAIRS_CACHE[2].unpersist()
             except Exception:
@@ -1928,12 +1929,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_windowed": events_funnel_windowed,
         # --- group 1 (r05): code changed this round (multimodal decode
         # kernels, IVF tail refactor, funnel window param, memo eviction /
-        # _drained_sink key signature touched every drain consumer) ---
+        # _drained_sink key signature touched every drain consumer;
+        # ngram_jaccard carries the round's AllPairs SIZE-filter change —
+        # minhash_dup_survivors, body unchanged, rides on its r04 row) ---
         "multimodal_features": multimodal_features,
         "ann_ivf_topk": ann_ivf_topk,
         "events_funnel": events_funnel,
         "minhash_near_dups": minhash_near_dups,
-        "minhash_dup_survivors": minhash_dup_survivors,
+        "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
         "events_sessions_streamed": events_sessions_streamed,
         "spike_windows_streamed": spike_windows_streamed,
         "events_dedup_streamed": events_dedup_streamed,
@@ -2016,7 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": lang_distribution,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
-        "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
+        "minhash_dup_survivors": minhash_dup_survivors,
     }
 
 

@@ -61,6 +61,19 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _twin_hash(ref_col: str, hash_impl: str) -> F.Column:
+    """The cross-engine twin-hash convention, in ONE place.
+
+    ``'md5'`` → the 60-bit md5 prefix DuckDB reproduces exactly
+    (``('0x'||substr(md5(ref),1,15))::BIGINT``); anything else → the fast
+    JVM xxhash64. Every oracle twin in this module derives from this
+    expression — keep the prefix length in lockstep with the SQL side.
+    """
+    if hash_impl == "md5":
+        return F.conv(F.substring(F.md5(F.col(ref_col)), 1, 15), 16, 10).cast("bigint")
+    return F.xxhash64(F.col(ref_col))
+
+
 def synthesize_media(
     spark, refs: DataFrame, ref_col: str = "media_ref", hash_impl: str = "xxhash64"
 ) -> DataFrame:
@@ -69,13 +82,10 @@ def synthesize_media(
     from object storage; shape is identical.
 
     ``hash_impl='md5'`` derives the metadata from a 60-bit md5 prefix that
-    DuckDB reproduces exactly (``('0x'||substr(md5(ref),1,15))::BIGINT``),
-    so the whole media table is cross-engine-verifiable; the default
-    xxhash64 stays the fast JVM path."""
-    if hash_impl == "md5":
-        h = F.conv(F.substring(F.md5(F.col(ref_col)), 1, 15), 16, 10).cast("bigint")
-    else:
-        h = F.xxhash64(F.col(ref_col))
+    DuckDB reproduces exactly (see :func:`_twin_hash`), so the whole media
+    table is cross-engine-verifiable; the default xxhash64 stays the fast
+    JVM path."""
+    h = _twin_hash(ref_col, hash_impl)
     return refs.select(
         F.col(ref_col).alias("media_ref"),
         F.element_at(
@@ -304,6 +314,8 @@ def _decode_ppm(buf: bytes) -> np.ndarray:
         i = j
     i += 1  # the single whitespace byte terminating the header
     w, h, maxval = vals
+    if w <= 0 or h <= 0:
+        raise ValueError(f"non-positive PPM dimensions ({w}x{h})")
     if maxval != 255:
         raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
     n = w * h * 3
@@ -315,6 +327,11 @@ def _decode_ppm(buf: bytes) -> np.ndarray:
 def _decode_bmp(buf: bytes) -> np.ndarray:
     import struct
 
+    # header fields below end at byte 34 — length-check up front so a
+    # truncated header raises the documented ValueError, not struct.error
+    # (extract_features' external-codec gate catches only ValueError)
+    if len(buf) < 34:
+        raise ValueError("truncated BMP header")
     off = struct.unpack_from("<I", buf, 10)[0]
     hsize = struct.unpack_from("<I", buf, 14)[0]
     if hsize < 40:
@@ -324,6 +341,8 @@ def _decode_bmp(buf: bytes) -> np.ndarray:
     comp = struct.unpack_from("<I", buf, 30)[0]
     if bpp != 24 or comp != 0:
         raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={comp})")
+    if w <= 0 or h_signed == 0:
+        raise ValueError(f"non-positive BMP dimensions ({w}x{h_signed})")
     top_down = h_signed < 0
     h = abs(h_signed)
     stride = (w * 3 + 3) & ~3
@@ -371,14 +390,11 @@ def synthesize_image_payloads(
 
     Like ``synthesize_media`` but the payload is a genuinely decodable
     image: format, dimensions and pixel ramp all derive from the ref hash
-    (``hash_impl='md5'`` → the 60-bit md5 prefix a DuckDB oracle can
-    reproduce). Encoding runs in an Arrow-batched ``mapInPandas`` kernel;
+    (:func:`_twin_hash` — ``'md5'`` is the DuckDB-reproducible twin).
+    Encoding runs in an Arrow-batched ``mapInPandas`` kernel;
     partitioning does not affect results (per-row pure function).
     """
-    if hash_impl == "md5":
-        h = F.conv(F.substring(F.md5(F.col(ref_col)), 1, 15), 16, 10).cast("bigint")
-    else:
-        h = F.xxhash64(F.col(ref_col))
+    h = _twin_hash(ref_col, hash_impl)
     spec = refs.select(
         F.col(ref_col).alias("media_ref"),
         F.when(F.pmod(h, F.lit(2)) == 0, F.lit("ppm")).otherwise(F.lit("bmp")).alias("fmt"),

@@ -70,7 +70,7 @@ def exclusive_prefix_sum(
         "_pid", F.coalesce(F.sum("_ptotal").over(off_w), F.lit(0)).alias("_poffset")
     )
     in_w = Window.partitionBy("_pid").orderBy(order_col)
-    return (
+    out = (
         ranged.join(F.broadcast(offsets), "_pid")
         .withColumn(
             out_col,
@@ -80,18 +80,26 @@ def exclusive_prefix_sum(
         )
         .drop("_pid", "_poffset")
     )
+    # stash the PERSISTED ancestor's handle: Dataset.unpersist only drops a
+    # cache entry whose plan matches the handle it is called on, so calling
+    # it on the derived frame would be a silent no-op — the caller (or
+    # :func:`unpersist_prefix_scan`) must release `ranged` itself
+    out._prefix_scan_cache = ranged
+    return out
 
 
 def unpersist_prefix_scan(df: DataFrame) -> None:
     """Release the persist taken by :func:`exclusive_prefix_sum`.
 
-    The persisted node is an ancestor of the returned frame; walking the
-    returned frame's own handle is enough for Spark to drop the cached
-    plan when the caller is done with every derivative."""
-    try:
-        df.unpersist()
-    except Exception:
-        pass
+    Accepts the frame returned by :func:`exclusive_prefix_sum` or
+    :func:`packed_documents` (the persisted ancestor rides on it as
+    ``_prefix_scan_cache``). Safe to call more than once."""
+    cached = getattr(df, "_prefix_scan_cache", None)
+    if cached is not None:
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
 
 
 def packed_documents(
@@ -114,8 +122,10 @@ def packed_documents(
     with_prefix = exclusive_prefix_sum(
         docs, order_col, token_col, num_partitions, out_col="_prefix"
     )
-    return with_prefix.select(
+    out = with_prefix.select(
         *docs.columns,
         F.floor(F.col("_prefix") / budget).cast("bigint").alias("bin_id"),
         F.pmod(F.col("_prefix"), F.lit(budget)).cast("bigint").alias("bin_offset"),
     )
+    out._prefix_scan_cache = with_prefix._prefix_scan_cache
+    return out

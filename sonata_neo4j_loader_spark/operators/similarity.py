@@ -517,16 +517,9 @@ def ivf_ann_topk_prebuilt(
     query_probes = ivf_assign(q, cents, nprobe=nprobe, id_col="query_id", vec_col="q_vec")
 
     lists_path = f"{index_path}/lists"
-    done = mat.committed_partitions(spark, lists_path)
-    if done is None:
-        raise FileNotFoundError(f"no manifest at {lists_path}")
-    visible = {
-        r[mat.PART_COL]
-        for r in done.where(F.col("row_count") > 0)
-        .select(mat.PART_COL)
-        .distinct()
-        .collect()
-    }
+    # the sink's own visibility rule (committed, non-tombstoned) — shared
+    # helper so this reader can never diverge from read_materialized
+    visible = set(mat.visible_parts(spark, lists_path))
     if prune_lists:
         meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
         probed = mat.with_bucket(

@@ -253,6 +253,28 @@ def materialize(
     )
 
 
+def visible_parts(spark: SparkSession, table_path: str) -> list[int]:
+    """Partition ids a manifest-gated read may see — THE visibility rule.
+
+    Committed partitions whose latest manifest row is not a tombstone
+    (a vacated partition, row_count 0, still has stale files on disk —
+    visibility is manifest-gated, so it is excluded). Shared by
+    :func:`read_materialized` and every external consumer of a
+    materialized table (e.g. the prebuilt IVF index), so the rule cannot
+    silently diverge between readers.
+    """
+    done = committed_partitions(spark, table_path)
+    if done is None:
+        raise FileNotFoundError(f"no manifest at {table_path}")
+    return sorted(
+        r[PART_COL]
+        for r in done.where(F.col("row_count") > 0)
+        .select(PART_COL)
+        .distinct()
+        .collect()
+    )
+
+
 def read_materialized(spark: SparkSession, table_path: str) -> DataFrame:
     """Read only *committed* partitions (manifest-gated visibility).
 
@@ -260,18 +282,7 @@ def read_materialized(spark: SparkSession, table_path: str) -> DataFrame:
     Spark prunes at the file-listing level — uncommitted partition dirs are
     never scanned.
     """
-    done = committed_partitions(spark, table_path)
-    if done is None:
-        raise FileNotFoundError(f"no manifest at {table_path}")
-    # a vacated partition (latest row = tombstone, row_count 0) still has
-    # stale files on disk — visibility is manifest-gated, so exclude it
-    parts = [
-        r[PART_COL]
-        for r in done.where(F.col("row_count") > 0)
-        .select(PART_COL)
-        .distinct()
-        .collect()
-    ]
+    parts = visible_parts(spark, table_path)
     df = spark.read.parquet(table_path)
     return df.where(F.col(PART_COL).isin(parts)).drop(PART_COL)
 

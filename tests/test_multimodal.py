@@ -180,3 +180,15 @@ def test_real_feature_path_decodes_ppm_bmp(spark):
         _, px = multimodal.decode_image(payloads[r.media_ref])
         exp = multimodal._luma_histogram(px, 16)
         assert np.allclose(r.feature, exp)
+
+
+def test_decode_rejects_truncated_and_degenerate_headers():
+    import pytest as _pytest
+
+    # a 'BM' magic with a truncated header must raise the documented
+    # ValueError (struct.error would escape extract_features' codec gate)
+    for bad in (b"BM", b"BM" + b"\x00" * 20):
+        with _pytest.raises(ValueError, match="truncated"):
+            multimodal.decode_image(bad)
+    with _pytest.raises(ValueError, match="dimensions"):
+        multimodal.decode_image(b"P6\n-1 1\n255\n" + b"\x00" * 9)

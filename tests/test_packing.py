@@ -70,3 +70,14 @@ def test_prefix_sum_plan_partitions_the_corpus_window(spark):
     # the unpartitioned window's input is the Aggregate over _pid totals,
     # visible in-plan as the HashAggregate feeding it
     assert "HashAggregate" in plan
+
+
+def test_unpersist_prefix_scan_releases_the_cached_ancestor(spark):
+    docs = _docs(spark, 200)
+    out = packing.packed_documents(docs, budget=128, num_partitions=4)
+    out.count()  # fills the persist
+    assert out._prefix_scan_cache.storageLevel.useMemory
+    packing.unpersist_prefix_scan(out)
+    assert not out._prefix_scan_cache.storageLevel.useMemory
+    # idempotent
+    packing.unpersist_prefix_scan(out)
