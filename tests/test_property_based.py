@@ -299,3 +299,85 @@ def test_ngram_prefix_filter_matches_brute_force(spark, texts, threshold):
         if j >= threshold:
             want.add((a, b, j))
     assert got == want
+
+
+# --- distributed prefix sum / packing vs a pure-Python scan -----------------
+
+token_lists = st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tokens=token_lists, budget=st.integers(min_value=1, max_value=500))
+def test_packing_matches_python_scan(spark, tokens, budget):
+    from sonata_neo4j_loader_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens int"
+    )
+    got = {
+        r.doc_id: (r.bin_id, r.bin_offset)
+        for r in packing.packed_documents(docs, budget, num_partitions=3).collect()
+    }
+    prefix = 0
+    for i, t in enumerate(tokens):
+        assert got[i] == (prefix // budget, prefix % budget), (i, tokens, budget)
+        prefix += t
+
+
+# --- stream-stream interval join vs a brute-force python join ---------------
+
+event_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # user
+        st.integers(min_value=0, max_value=5000),  # seconds offset
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(clicks=event_sets, purchases=event_sets)
+def test_stream_join_matches_brute_force(spark, clicks, purchases, tmp_path_factory):
+    from datetime import datetime, timedelta
+
+    from sonata_neo4j_loader_spark.streaming import joins as streaming_joins
+
+    base = datetime(2024, 6, 1)
+    window_s = 600
+    c_rows = [(base + timedelta(seconds=s), u, i) for i, (u, s) in enumerate(clicks)]
+    p_rows = [
+        (base + timedelta(seconds=s), u, 1000 + i)
+        for i, (u, s) in enumerate(purchases)
+    ]
+    want = sorted(
+        (cu, cid, pid)
+        for (ct, cu, cid) in c_rows
+        for (pt, pu, pid) in p_rows
+        if cu == pu and ct < pt <= ct + timedelta(seconds=window_s)
+    )
+    tmp = tmp_path_factory.mktemp("sj_prop")
+    schema = "event_time timestamp, user_id long, event_id long"
+    spark.createDataFrame(c_rows or [], schema).write.mode("overwrite").parquet(
+        str(tmp / "c")
+    )
+    spark.createDataFrame(p_rows or [], schema).write.mode("overwrite").parquet(
+        str(tmp / "p")
+    )
+    streaming_joins.run_attribution_to_parquet(
+        spark, str(tmp / "c"), str(tmp / "p"), str(tmp / "sink"), str(tmp / "ckpt"),
+        window=f"{window_s} seconds",
+    )
+    got = sorted(
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.read.parquet(str(tmp / "sink")).collect()
+    )
+    assert got == want
