@@ -21,6 +21,7 @@ from sonata_neo4j_loader_spark.operators import (
     canonicalize,
     dedup,
     multimodal,
+    redact,
     similarity,
     text,
 )
@@ -3289,4 +3290,129 @@ def oracle_sql() -> dict[str, str]:
         # kg_span_invariant: rows-only (must be empty) — non-SQL-expressible
         # minhash/simhash/lsh near-dups & multimodal: hash-/UDF-dependent,
         # rows-only by design.
+    }
+
+
+# ---------------------------------------------------------------------------
+# staged for the r06 driver window
+# ---------------------------------------------------------------------------
+# The r05 adjudication window is exactly full (see the queries()
+# docstring: 6 new + 10 changed + 34 longest-stale = 50). The queries
+# below are COMPLETE — operator modules, pytest coverage, and DuckDB
+# oracles adjudicated by the same gate the driver uses (`python
+# tools/check_oracles.py --staged`) — but deliberately NOT in queries()
+# yet: a registry row past position 50 would sit never-adjudicated this
+# round, and a new row inside the window would evict one of the 34 rows
+# whose certification expires now. Round 6 moves them into group 1 of
+# queries()/oracle_sql() verbatim (the 40 held-out r04-green rows plus
+# these fit r06's 50-row window).
+
+
+def docs_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/redact.py) over the documents table.
+
+    The synthetic corpus carries no PII, so the query PLANTS it
+    deterministically from ``doc_id`` (the same synthesize-inside-the-
+    query pattern as ``campaign_grid``): every doc gains one email, every
+    3rd a phone, every 4th an IPv4, every 5th a second email — so each
+    rule fires on a distinct, verifiable subset. The oracle rebuilds the
+    identical augmented text and applies the identical regexes (the
+    pattern set is written in the Java∩RE2 subset), so per-class counts
+    AND the full redacted text (md5) adjudicate cross-engine.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (d % 256).cast("string"),
+                F.lit(".0."),
+                ((d * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" cc admin"), d.cast("string"), F.lit("@corp.example.org")),
+        ).otherwise(F.lit("")),
+    )
+    out = redact.redact_pii(docs.select("doc_id", aug.alias("text")), "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("redacted_text").alias("redacted_md5"),
+    )
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries finished this round but held OUT of the driver registry
+    until r06's rotation window opens (rationale in the section comment
+    above). Same contract as queries()."""
+    return {
+        "docs_pii_redacted": docs_pii_redacted,
+    }
+
+
+def staged_oracle_sql() -> dict[str, str]:
+    """DuckDB twins for staged_queries(), same contract as oracle_sql()."""
+    email_pat, email_tok = redact.PII_PATTERNS["email"]
+    phone_pat, phone_tok = redact.PII_PATTERNS["phone"]
+    ip_pat, ip_tok = redact.PII_PATTERNS["ipv4"]
+    return {
+        "docs_pii_redacted": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     || CASE WHEN doc_id % 3 = 0
+                          THEN ' call +1-555-'
+                               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                               || '-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0
+                          THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                          ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN ' cc admin' || CAST(doc_id AS VARCHAR)
+                               || '@corp.example.org'
+                          ELSE '' END
+                     AS text
+              FROM documents
+            )
+            , steps AS (
+              -- class-SEQUENTIAL counts, mirroring redact_pii: each class
+              -- is counted on the text as it stands before its own
+              -- replacement (n_<class> = replacements performed)
+              SELECT doc_id, text,
+                     regexp_replace(text, '{email_pat}', '{email_tok}', 'g') AS r1
+              FROM aug
+            ), steps2 AS (
+              SELECT *, regexp_replace(r1, '{phone_pat}', '{phone_tok}', 'g') AS r2
+              FROM steps
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{email_pat}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(r1, '{phone_pat}')) AS INT) AS n_phone,
+                   CAST(len(regexp_extract_all(r2, '{ip_pat}')) AS INT) AS n_ipv4,
+                   md5(regexp_replace(r2, '{ip_pat}', '{ip_tok}', 'g')) AS redacted_md5
+            FROM steps2
+        """,
     }

@@ -12,7 +12,7 @@ DuckDB connections are per-thread (the module connection is not
 thread-safe); the entry module's session-keyed memo caches are warmed
 first so concurrent cold calls don't build the fixture pipeline twice.
 
-Usage: python tools/check_oracles.py [--jobs N] [name ...]
+Usage: python tools/check_oracles.py [--jobs N] [--staged] [name ...]
 """
 
 from __future__ import annotations
@@ -113,10 +113,16 @@ def main() -> int:
         i = args.index("--jobs")
         jobs = int(args[i + 1])
         args = args[:i] + args[i + 2 :]
+    staged = "--staged" in args
+    if staged:
+        args.remove("--staged")
     only = set(args)
     spark = get_spark(app_name="check-oracles", master="local[8]", shuffle_partitions=8)
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # --staged adjudicates the queries finished this round but held out of
+    # the driver registry until the next rotation window (see the staged
+    # section of __spark_entry__.py) with the exact same gate
+    qs = entry_mod.staged_queries() if staged else entry_mod.queries()
+    oracles = entry_mod.staged_oracle_sql() if staged else entry_mod.oracle_sql()
     todo = [(n, f) for n, f in qs.items() if not only or n in only]
     # warm the session-keyed memos so parallel cold calls don't duplicate
     # the fixture-pipeline build (benign but wasteful)
