@@ -21,6 +21,7 @@ from sonata_neo4j_loader_spark.operators import (
     canonicalize,
     dedup,
     multimodal,
+    paragraphs,
     redact,
     similarity,
     text,
@@ -3360,12 +3361,49 @@ def docs_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exactly 10 words each, so a prepended banner occupies chunk 0 precisely
+# and the original text's own chunking is shifted, not re-cut
+_BOILER_A = "legal notice all rights reserved by example corp contact dept"
+_BOILER_B = "subscribe to our newsletter for updates and offers every week"
+
+
+def dedup_paragraphs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-passage removal (operators/paragraphs.py).
+
+    The random-vocabulary corpus never repeats a 10-word chunk naturally,
+    so the query PLANTS boilerplate deterministically: every 4th doc is
+    prefixed with banner A, every 4th+1 with banner B (each exactly one
+    chunk wide). The operator must keep each banner's globally-first
+    occurrence only and pass every organic chunk through — adjudicated
+    against a DuckDB window-function oracle on full reassembled text
+    (md5) plus per-doc chunk accounting.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = (
+        F.when(d % 4 == 0, F.concat(F.lit(_BOILER_A + " "), F.col("text")))
+        .when(d % 4 == 1, F.concat(F.lit(_BOILER_B + " "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    out = paragraphs.dedup_paragraphs(
+        docs.select("doc_id", aug.alias("text")), "doc_id", "text", 10
+    )
+    return out.select(
+        "doc_id",
+        F.md5("kept_text").alias("kept_md5"),
+        "n_chunks",
+        "n_kept",
+        "n_dropped",
+    )
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries finished this round but held OUT of the driver registry
     until r06's rotation window opens (rationale in the section comment
     above). Same contract as queries()."""
     return {
         "docs_pii_redacted": docs_pii_redacted,
+        "dedup_paragraphs": dedup_paragraphs_docs,
     }
 
 
@@ -3414,5 +3452,45 @@ def staged_oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(r2, '{ip_pat}')) AS INT) AS n_ipv4,
                    md5(regexp_replace(r2, '{ip_pat}', '{ip_tok}', 'g')) AS redacted_md5
             FROM steps2
+        """,
+        "dedup_paragraphs": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN '{_BOILER_A} ' || text
+                          WHEN doc_id % 4 = 1 THEN '{_BOILER_B} ' || text
+                          ELSE text END AS text
+              FROM documents
+            ), words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM aug
+            ), idx AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(
+                       0, CAST(ceil(len(ws) / 10.0) AS INT) - 1)) AS i
+              FROM words WHERE len(ws) > 0
+            ), chunks AS (
+              SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                     array_to_string(list_slice(ws, i * 10 + 1, i * 10 + 10),
+                                     ' ') AS chunk
+              FROM idx
+            ), firsts AS (
+              SELECT doc_id, chunk_idx, chunk FROM chunks
+              QUALIFY row_number() OVER (
+                PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1
+            ), kept AS (
+              SELECT doc_id,
+                     string_agg(chunk, ' ' ORDER BY chunk_idx) AS kept_text,
+                     CAST(count(*) AS INT) AS n_kept
+              FROM firsts GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   md5(coalesce(k.kept_text, '')) AS kept_md5,
+                   CAST(ceil(len(w.ws) / 10.0) AS INT) AS n_chunks,
+                   coalesce(k.n_kept, 0) AS n_kept,
+                   CAST(ceil(len(w.ws) / 10.0) AS INT) - coalesce(k.n_kept, 0)
+                     AS n_dropped
+            FROM words w LEFT JOIN kept k USING (doc_id)
         """,
     }
