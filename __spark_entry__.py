@@ -19,6 +19,7 @@ from sonata_neo4j_loader_spark.datagen import documents as dg
 from sonata_neo4j_loader_spark.datagen import fixture
 from sonata_neo4j_loader_spark.operators import (
     canonicalize,
+    decontam,
     dedup,
     multimodal,
     paragraphs,
@@ -3397,6 +3398,26 @@ def dedup_paragraphs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): a deterministic
+    5% md5 bucket of the corpus plays the eval set; every train doc
+    sharing a word 4-gram with it is flagged with its distinct-hit count
+    (4 chosen because at this corpus's phrase-reuse rate it flags a
+    nontrivial ~7% of train docs — 3 flags most of the corpus, 5 almost
+    nothing). Oracle recomputes the overlap with a DuckDB inverted join.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    docs = docs.withColumn("_eval", bucket < 5)
+    train = docs.where(~F.col("_eval")).select("doc_id", "text")
+    eval_df = docs.where(F.col("_eval")).select("doc_id", "text")
+    return decontam.contamination_report(train, eval_df, n=4)
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries finished this round but held OUT of the driver registry
     until r06's rotation window opens (rationale in the section comment
@@ -3404,6 +3425,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "docs_pii_redacted": docs_pii_redacted,
         "dedup_paragraphs": dedup_paragraphs_docs,
+        "docs_decontaminated": docs_decontaminated,
     }
 
 
@@ -3492,5 +3514,31 @@ def staged_oracle_sql() -> dict[str, str]:
                    CAST(ceil(len(w.ws) / 10.0) AS INT) - coalesce(k.n_kept, 0)
                      AS n_dropped
             FROM words w LEFT JOIN kept k USING (doc_id)
+        """,
+        "docs_decontaminated": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(ws, i, i + 3), ' ') AS g
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 3)) AS i
+                    FROM words WHERE len(ws) >= 4)
+            ), eval_ids AS (
+              SELECT doc_id FROM documents
+              WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 100 < 5
+            ), eval_grams AS (
+              SELECT DISTINCT g FROM grams
+              WHERE doc_id IN (SELECT doc_id FROM eval_ids)
+            )
+            SELECT doc_id, count(*) AS n_hits
+            FROM grams
+            WHERE doc_id NOT IN (SELECT doc_id FROM eval_ids)
+              AND g IN (SELECT g FROM eval_grams)
+            GROUP BY doc_id
         """,
     }
