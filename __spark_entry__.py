@@ -21,11 +21,14 @@ from sonata_neo4j_loader_spark.operators import (
     canonicalize,
     decontam,
     dedup,
+    delta,
+    graph,
     multimodal,
     paragraphs,
     redact,
     similarity,
     text,
+    tfidf,
 )
 from sonata_neo4j_loader_spark.operators import parse as parse_ops
 from sonata_neo4j_loader_spark.plans import pipeline
@@ -3418,6 +3421,69 @@ def docs_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.contamination_report(train, eval_df, n=4)
 
 
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/tfidf.py). Scores are
+    smoothed-idf products rounded to 6 decimals; the rank cut compares
+    the rounded score with a term-string tiebreak, so Spark and the
+    DuckDB window oracle agree on the boundary row exactly."""
+    return tfidf.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary with cumulative corpus coverage
+    (operators/tfidf.py) — the Zipf curve that sizes tokenizer
+    vocabularies. rank is cast to int on both engines."""
+    out = tfidf.vocab_coverage(_t(spark, sf_dir, "documents"), k=100)
+    return out.select(
+        "term", "n_occurrences", F.col("rank").cast("int").alias("rank"), "coverage"
+    )
+
+
+def corpus_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between the documents table and a deterministically
+    mutated second snapshot (operators/delta.py): every 7th doc removed,
+    every remaining 5th edited (text + ' rev2'), and every 9th doc
+    spawning a NEW row at doc_id+1000000 — so all three change classes
+    fire on disjoint, verifiable subsets. Fingerprints are md5(text) on
+    both engines; the oracle rebuilds the same snapshot and diffs it
+    with a FULL OUTER JOIN."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = docs.where(d % 7 != 0).select(
+        "doc_id",
+        F.when(d % 5 == 0, F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where(d % 9 == 0).select(
+        (d + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("revision note "), d.cast("string")).alias("text"),
+    )
+    new = base.unionByName(added)
+    fp = lambda frame: frame.select(  # noqa: E731
+        "doc_id", F.md5("text").alias("fingerprint")
+    )
+    return delta.snapshot_diff(fp(docs), fp(new))
+
+
+def kg_label_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology-style transitive closure (operators/graph.py) over a
+    deterministic binary-tree hierarchy derived from doc_id (child →
+    child DIV 2, the same synthesize-inside-the-query pattern as
+    campaign_grid): ⌈log₂ depth⌉ doubling rounds against DuckDB's
+    recursive CTE — the iterative-join shape certified exactly, chains
+    included, not just direct edges."""
+    edges = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") >= 1)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.expr("doc_id DIV 2").alias("dst"),
+        )
+    )
+    return graph.transitive_closure(edges)
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries finished this round but held OUT of the driver registry
     until r06's rotation window opens (rationale in the section comment
@@ -3426,6 +3492,10 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_redacted": docs_pii_redacted,
         "dedup_paragraphs": dedup_paragraphs_docs,
         "docs_decontaminated": docs_decontaminated,
+        "tfidf_top_terms": tfidf_top_terms_docs,
+        "vocab_coverage": vocab_coverage_docs,
+        "corpus_snapshot_delta": corpus_snapshot_delta,
+        "kg_label_closure": kg_label_closure,
     }
 
 
@@ -3540,5 +3610,82 @@ def staged_oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT doc_id FROM eval_ids)
               AND g IN (SELECT g FROM eval_grams)
             GROUP BY doc_id
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+              FROM documents WHERE trim(text) <> ''
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), dfx AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), n AS (
+              SELECT count(*) AS n FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+                     round(tf.tf * (ln((n.n + 1.0) / (dfx.df + 1.0)) + 1.0), 6)
+                       AS score
+              FROM tf JOIN dfx USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, score FROM scored
+            QUALIFY row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, term ASC) <= 3
+        """,
+        "vocab_coverage": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+              FROM documents WHERE trim(text) <> ''
+            ), counts AS (
+              SELECT term, count(*) AS n_occurrences FROM toks GROUP BY 1
+            ), total AS (
+              SELECT sum(n_occurrences) AS t FROM counts
+            ), top AS (
+              SELECT term, n_occurrences,
+                     CAST(row_number() OVER (
+                       ORDER BY n_occurrences DESC, term ASC) AS INT) AS rank,
+                     sum(n_occurrences) OVER (
+                       ORDER BY n_occurrences DESC, term ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM counts
+            )
+            SELECT term, n_occurrences, rank,
+                   round(cum / (SELECT t FROM total), 6) AS coverage
+            FROM top WHERE rank <= 100
+        """,
+        "corpus_snapshot_delta": """
+            WITH new_snap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END
+                       AS text
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     'revision note ' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 9 = 0
+            ), o AS (
+              SELECT doc_id, md5(text) AS fp FROM documents
+            ), nn AS (
+              SELECT doc_id, md5(text) AS fp FROM new_snap
+            )
+            SELECT coalesce(o.doc_id, nn.doc_id) AS doc_id,
+                   CASE WHEN o.fp IS NULL THEN 'added'
+                        WHEN nn.fp IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change,
+                   o.fp AS old_fingerprint,
+                   nn.fp AS new_fingerprint
+            FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id
+            WHERE o.fp IS NULL OR nn.fp IS NULL OR o.fp <> nn.fp
+        """,
+        "kg_label_closure": """
+            WITH RECURSIVE e AS (
+              SELECT doc_id AS src, doc_id // 2 AS dst
+              FROM documents WHERE doc_id >= 1
+            ), c(src, dst) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT c.src, e.dst FROM c JOIN e ON c.dst = e.src
+            )
+            SELECT src, dst FROM c
         """,
     }

@@ -26,6 +26,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """All ``(src, dst)`` pairs connected by a directed path of ≥1 edges.
+
+    The ontology-closure primitive of a knowledge graph (SUBCLASS_OF /
+    PART_OF hierarchies must be closed before entailment queries can be
+    answered with one equi-join). Iterated path DOUBLING: after round
+    ``i`` the frame holds every path of length ≤ 2^i, so a
+    diameter-``d`` graph converges in ⌈log₂ d⌉ rounds — the right trade
+    at scale, where a semi-naive frontier loop would take ``d``
+    shuffle rounds on a deep hierarchy. Each round is one self-join
+    keyed on the middle node plus one map-side-combined ``distinct``;
+    lineage is truncated with an eager ``localCheckpoint`` on the same
+    cadence as :func:`pagerank` and the connected-components loop.
+    Convergence is detected by a per-round count action (⌈log₂ d⌉
+    driver round-trips total, not per-path-length).
+
+    Cycles are safe (closure of a cycle is the full reachability
+    relation; ``distinct`` keeps the frame finite); ``max_iterations``
+    bounds the loop regardless.
+    """
+    paths = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_paths = paths.count()
+    for i in range(max_iterations):
+        doubled = (
+            paths.alias("a")
+            .join(
+                paths.alias("b"),
+                F.col("a.dst") == F.col("b.src"),
+            )
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        paths = paths.unionByName(doubled).distinct()
+        if (i + 1) % checkpoint_every == 0:
+            paths = paths.localCheckpoint(eager=True)
+        n_next = paths.count()
+        if n_next == n_paths:
+            break
+        n_paths = n_next
+    return paths
+
+
 def degree_stats(edges: DataFrame, src: str = "subj", dst: str = "obj") -> DataFrame:
     """Per-node in/out degree over a (possibly multiset) edge table."""
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
