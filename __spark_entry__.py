@@ -19,10 +19,13 @@ from sonata_neo4j_loader_spark.datagen import documents as dg
 from sonata_neo4j_loader_spark.datagen import fixture
 from sonata_neo4j_loader_spark.operators import (
     canonicalize,
+    cooccurrence,
     decontam,
     dedup,
     delta,
     graph,
+    linking,
+    mentions,
     multimodal,
     paragraphs,
     redact,
@@ -3484,6 +3487,74 @@ def kg_label_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.transitive_closure(edges)
 
 
+def kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence edges (operators/cooccurrence.py) over the
+    fixture corpus: parse → fused extraction → dictionary-link both the
+    plain mentions AND the synapse endpoints → canonicalize → pair
+    inside each document. The oracle is a literal-VALUES pair table
+    derived independently from the fixture spec (node/alias docs
+    contribute the neuron×attribute clique, edge docs the endpoint
+    pair, noise docs nothing — their surfaces must fail to link)."""
+    docs = dg.fixture_documents(spark)
+    parsed = parse_ops.parse_documents(docs).where(F.col("spans_valid"))
+    extracted = mentions.extract_documents(parsed)
+    entities = dg.fixture_entities(spark)
+    syn = mentions.synapses_from_extracted(extracted)
+    de = (
+        linking.link_mentions(mentions.mentions_from_extracted(extracted), entities)
+        .select("doc_id", "entity_id")
+        .unionByName(
+            linking.link_mentions(
+                syn.withColumnRenamed("src_surface", "surface"), entities
+            ).select("doc_id", "entity_id")
+        )
+        .unionByName(
+            linking.link_mentions(
+                syn.withColumnRenamed("tgt_surface", "surface"), entities
+            ).select("doc_id", "entity_id")
+        )
+    )
+    mapping = canonicalize.connected_components(dg.fixture_alias_edges(spark))
+    de = canonicalize.apply_canonical_mapping(de, mapping, "entity_id")
+    return cooccurrence.cooccurrence_edges(de)
+
+
+def _kg_cooccurrence_oracle() -> str:
+    """Pair counts derived from the fixture spec alone (no Spark code
+    reuse): node and alias documents canonicalize to the same 6-entity
+    set (neuron, mtype, etype, sclass, population, morphology), edge
+    documents to their two endpoint neurons."""
+    import itertools
+
+    doc_ents: dict[str, frozenset[str]] = {}
+    for pop, nid, mtype, etype, sclass, _layer, _region, morph in fixture.NEURONS:
+        ents = frozenset(
+            {
+                fixture.neuron_entity(pop, nid),
+                f"mtype:{mtype}",
+                f"etype:{etype}",
+                f"sclass:{sclass}",
+                f"pop:{pop}",
+                f"morphology:{morph}",
+            }
+        )
+        doc_ents[f"node-{pop}-{nid:06d}"] = ents
+        doc_ents[f"alias-{pop}-{nid:06d}"] = ents
+    for seq, (_ep, sp, si, tp, ti) in enumerate(fixture.EDGES):
+        doc_ents[f"edge-{seq:06d}"] = frozenset(
+            {fixture.neuron_entity(sp, si), fixture.neuron_entity(tp, ti)}
+        )
+    counts: dict[tuple[str, str], int] = {}
+    for ents in doc_ents.values():
+        for a, b in itertools.combinations(sorted(ents), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    rows = sorted((a, b, n) for (a, b), n in counts.items())
+    return (
+        "SELECT entity_a, entity_b, CAST(n_docs AS BIGINT) AS n_docs "
+        f"FROM (VALUES {_values_rows(rows)}) AS t(entity_a, entity_b, n_docs)"
+    )
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries finished this round but held OUT of the driver registry
     until r06's rotation window opens (rationale in the section comment
@@ -3496,6 +3567,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": vocab_coverage_docs,
         "corpus_snapshot_delta": corpus_snapshot_delta,
         "kg_label_closure": kg_label_closure,
+        "kg_cooccurrence": kg_cooccurrence,
     }
 
 
@@ -3688,4 +3760,5 @@ def staged_oracle_sql() -> dict[str, str]:
             )
             SELECT src, dst FROM c
         """,
+        "kg_cooccurrence": _kg_cooccurrence_oracle(),
     }
