@@ -3555,6 +3555,61 @@ def _kg_cooccurrence_oracle() -> str:
     )
 
 
+def minhash_incremental_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection (operators/dedup.py
+    ``build_minhash_index`` + ``minhash_incremental_duplicates``): a
+    deterministic 10% md5 bucket of the corpus plays "today's batch", the
+    other 90% the already-ingested history whose banded MinHash postings
+    are PERSISTED through the materialize sink (once per session via the
+    drained memo) and probed with file-level partition pruning. The
+    operational 10^12-doc dedup pattern — dedup the increment against the
+    index, never re-shingle the history. Oracle: exact all-(batch ×
+    history)-pairs 5-gram Jaccard ≥ 0.6 in DuckDB; the same
+    J ≥ 0.92 corpus profile that makes ``minhash_near_dups``' exact
+    oracle sound applies (cross pairs are a subset of the same pair
+    population). Pruning losslessness, singleton-bucket pairing, and
+    index resume are pytest-pinned (tests/test_dedup_incremental.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    docs = docs.withColumn("_new", bucket < 10)
+    history = docs.where(~F.col("_new")).select("doc_id", "text")
+    batch = docs.where(F.col("_new")).select("doc_id", "text")
+
+    def drain(sink: str) -> None:
+        dedup.build_minhash_index(history, sink)
+
+    idx = _drained_sink(spark, "minhash_index", drain, key=sf_dir)
+    return dedup.minhash_incremental_duplicates(
+        spark, idx, history, batch, threshold=0.6, max_bucket_size=None
+    )
+
+
+def docs_mixture_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling (operators/sampling.py
+    ``resample_by_group``): upweight English 2.5× and downweight
+    unidentified-language docs to 0.25× — the data-MIXING primitive that
+    turns per-source target weights into a concrete training corpus. One
+    JVM projection + explode, NO shuffle; md5 hash twin so the DuckDB
+    oracle reproduces the exact copy multiset (engine hot path defaults
+    to xxhash64; partition-invariance is pytest-pinned)."""
+    from sonata_neo4j_loader_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", text.lang_id("text"))
+    out = sampling.resample_by_group(
+        docs,
+        "lang_id",
+        {"en": 2.5, "und": 0.25},
+        "doc_id",
+        hash_impl="md5",
+        seed=7,
+    )
+    return out.select("doc_id", "lang_id", "copy_id")
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries finished this round but held OUT of the driver registry
     until r06's rotation window opens (rationale in the section comment
@@ -3568,6 +3623,8 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_snapshot_delta": corpus_snapshot_delta,
         "kg_label_closure": kg_label_closure,
         "kg_cooccurrence": kg_cooccurrence,
+        "minhash_incremental_dups": minhash_incremental_dups,
+        "docs_mixture_resampled": docs_mixture_resampled,
     }
 
 
@@ -3761,4 +3818,61 @@ def staged_oracle_sql() -> dict[str, str]:
             SELECT src, dst FROM c
         """,
         "kg_cooccurrence": _kg_cooccurrence_oracle(),
+        # exact all-(batch x history)-pairs Jaccard with the identical
+        # md5 split — the incremental probe must find every cross pair
+        # the full self-join detector would (and nothing else)
+        "minhash_incremental_dups": """
+            WITH split AS (
+              SELECT doc_id, text,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 10 AS is_new
+              FROM documents
+            ), norm AS (
+              SELECT doc_id, is_new,
+                     regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+              FROM split
+            ), sh AS (
+              SELECT doc_id, is_new,
+                     CASE WHEN len(t) < 5 THEN [t]
+                          ELSE list_distinct(
+                                 [substr(t, i, 5) for i in range(1, len(t) - 3)])
+                     END AS shingles
+              FROM norm
+            ), sizes AS (
+              SELECT doc_id, len(shingles) AS n FROM sh
+            ), posts AS (
+              SELECT doc_id, is_new, unnest(shingles) AS s FROM sh
+            ), m AS (
+              SELECT a.doc_id AS new_id, b.doc_id AS hist_id, count(*) AS m
+              FROM posts a JOIN posts b ON a.s = b.s
+              WHERE a.is_new AND NOT b.is_new
+              GROUP BY 1, 2
+            )
+            SELECT new_id, hist_id,
+                   round(m * 1.0 / (sa.n + sb.n - m), 6) AS jaccard
+            FROM m
+            JOIN sizes sa ON sa.doc_id = new_id
+            JOIN sizes sb ON sb.doc_id = hist_id
+            WHERE round(m * 1.0 / (sa.n + sb.n - m), 6) >= 0.6
+        """,
+        # identical md5 bucket -> integer thresholds against the 2^20
+        # space (en: 2 + [bucket < 0.5*2^20], und: [bucket < 0.25*2^20])
+        "docs_mixture_resampled": f"""
+            WITH langs AS (
+              SELECT doc_id, {_LANG_SQL} AS lang_id,
+                     ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 1048576 AS bucket
+              FROM documents
+            ), n AS (
+              SELECT doc_id, lang_id,
+                     CASE WHEN lang_id = 'en'
+                            THEN 2 + CASE WHEN bucket < 524288 THEN 1 ELSE 0 END
+                          WHEN lang_id = 'und'
+                            THEN CASE WHEN bucket < 262144 THEN 1 ELSE 0 END
+                          ELSE 1 END AS copies
+              FROM langs
+            )
+            SELECT doc_id, lang_id, CAST(unnest(range(copies)) AS INT) AS copy_id
+            FROM n
+        """,
     }

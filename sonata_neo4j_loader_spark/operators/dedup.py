@@ -178,19 +178,24 @@ def drop_hot_buckets(
     keys: list[str],
     max_bucket_size: int | None,
     label: str,
+    min_bucket_size: int = 2,
 ) -> DataFrame:
     """THE hot-bucket bound, shared by every banded candidate generator
     (MinHash-LSH bands, SimHash chunks, embedding-LSH bands).
 
     A bucket holding p members yields p² join rows on one shuffle key, so
-    web scale needs buckets bounded. Keep only keys with 2..max members:
-    singletons can't pair and over-full buckets are degenerate content
-    whose true near-dups usually also share a smaller bucket. Window-free
-    (aggregate-then-left-semi-join) so the bound itself shuffles only the
-    dimension-sized bucket-key set. ``max_bucket_size=None`` disables the
-    bound entirely (exact small-scale mode — what the DuckDB brute-force
-    oracles reproduce). NOT silent: opt-out parameter, plan-build log
-    line, skew-fixture pytests.
+    web scale needs buckets bounded. Keep only keys with
+    ``min_bucket_size..max`` members: in a SELF-join singletons can't pair
+    (the default ``min_bucket_size=2``), while a probe against a separate
+    batch CAN pair with a singleton index bucket
+    (:func:`minhash_incremental_duplicates` passes 1); over-full buckets
+    are degenerate content whose true near-dups usually also share a
+    smaller bucket. Window-free (aggregate-then-left-semi-join) so the
+    bound itself shuffles only the dimension-sized bucket-key set.
+    ``max_bucket_size=None`` disables the bound entirely (exact
+    small-scale mode — what the DuckDB brute-force oracles reproduce).
+    NOT silent: opt-out parameter, plan-build log line, skew-fixture
+    pytests.
     """
     if max_bucket_size is None:
         return df
@@ -203,13 +208,13 @@ def drop_hot_buckets(
     small = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
-        .where((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
+        .where((F.col("n") >= min_bucket_size) & (F.col("n") <= max_bucket_size))
         .select(*keys)
     )
     return df.join(small, keys, "left_semi")
 
 
-def minhash_lsh_candidates(
+def banded_postings(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -217,15 +222,14 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
-    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash-LSH.
+    """Banded MinHash-LSH postings ``(_id, band, bucket)`` — one row per
+    (doc, band), where ``bucket`` hashes the band's signature slice.
 
-    signature → ``bands`` bands of ``num_hashes/bands`` rows; docs agreeing
-    on any full band share a bucket; within-bucket self-join emits pairs
-    (id_a < id_b), deduped across bands. Buckets larger than
-    ``max_bucket_size`` are dropped (degenerate content); at 10^12 docs this
-    bound is what keeps the band-join skew-free.
+    The shared core of :func:`minhash_lsh_candidates` (self-join pairing)
+    and :func:`build_minhash_index` / :func:`minhash_incremental_duplicates`
+    (persisted-index probing): two docs are LSH candidates iff they share a
+    (band, bucket) posting.
     """
     rows_per_band = num_hashes // bands
     # Two projection steps: shingles materialize once per row, then the 31-bit
@@ -253,7 +257,7 @@ def minhash_lsh_candidates(
             *[F.array_min(F.transform("hs", affine(a, b))) for (a, b) in params]
         ).alias("sig"),
     )
-    banded = sigs.select(
+    return sigs.select(
         "_id",
         F.explode(
             F.array(
@@ -275,6 +279,29 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    signature → ``bands`` bands of ``num_hashes/bands`` rows; docs agreeing
+    on any full band share a bucket; within-bucket self-join emits pairs
+    (id_a < id_b), deduped across bands. Buckets larger than
+    ``max_bucket_size`` are dropped (degenerate content); at 10^12 docs this
+    bound is what keeps the band-join skew-free.
+    """
+    banded = banded_postings(
+        df, id_col, text_col, shingle_k, num_hashes, bands, seed
+    )
     bounded = drop_hot_buckets(
         banded, ["band", "bucket"], max_bucket_size, "minhash_lsh_candidates"
     )
@@ -333,6 +360,171 @@ def minhash_near_duplicates(
         df, id_col, text_col, shingle_k, num_hashes, bands, seed
     )
     return jaccard_verify(cands, df, id_col, text_col, shingle_k, threshold)
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    num_buckets: int = 16,
+) -> dict:
+    """Persist the corpus's banded MinHash postings through the
+    materialize sink — the historical-corpus half of INCREMENTAL dedup.
+
+    At 10^12 docs the operational dedup question is rarely "dedup this
+    corpus against itself once"; it is "dedup today's crawl batch against
+    everything already ingested" — and rescanning/re-shingling the full
+    history per batch is the cost that kills that. This builder pays the
+    corpus-wide shingling ONCE and writes:
+
+    * ``postings`` — ``(doc_id, band, bucket)`` rows, sink-bucketed by
+      (band, bucket) so a probe for a given posting key touches exactly
+      one partition (:func:`minhash_incremental_duplicates` prunes at the
+      file listing, same mechanism as the IVF index's probed lists);
+    * ``meta`` — one row of build parameters (shingle_k, num_hashes,
+      bands, seed, num_buckets); the probe side MUST band with identical
+      parameters or candidate collision is meaningless, so it reads them
+      from here rather than trusting its caller.
+
+    Resume comes free from the sink's contract: a re-run
+    fingerprint-skips unchanged partitions, so appending a day's batch to
+    the index rewrites only the (band, bucket) partitions whose posting
+    sets changed. Returns ``{"postings": MaterializeReport}``.
+    """
+    from ..sinks import materialize as mat
+
+    spark = corpus.sparkSession
+    posts = banded_postings(
+        corpus, id_col, text_col, shingle_k, num_hashes, bands, seed
+    ).select(F.col("_id").alias("doc_id"), "band", "bucket")
+    report = mat.materialize(
+        posts,
+        f"{index_path}/postings",
+        key_cols=["band", "bucket"],
+        num_buckets=num_buckets,
+        stage="minhash_postings",
+    )
+    spark.createDataFrame(
+        [(int(shingle_k), int(num_hashes), int(bands), int(seed), int(num_buckets))],
+        "shingle_k int, num_hashes int, bands int, seed int, num_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    return {"postings": report}
+
+
+def minhash_incremental_duplicates(
+    spark,
+    index_path: str,
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_bucket_size: int | None = 1000,
+    prune_postings: bool = True,
+) -> DataFrame:
+    """Near-dups of a NEW batch against a PRE-BUILT
+    :func:`build_minhash_index` — returns ``(new_id, hist_id, jaccard)``.
+
+    The incremental-ingest primitive: band the batch with the index's own
+    parameters (read from ``meta``), equi-join its postings against the
+    persisted posting table on (band, bucket), then verify candidates
+    with true shingle Jaccard. Scale properties:
+
+    * with ``prune_postings`` the batch's posting keys are mapped to sink
+      partition ids with the sink's own ``with_bucket`` and ONLY those
+      partitions are scanned (``part IN (...)`` prunes at the file
+      listing) — probe cost is proportional to the batch's bucket
+      footprint, not the index;
+    * ``history`` (the original corpus table) is touched ONLY to fetch
+      candidate documents' text for verification — one semi-join on the
+      candidate id set, never a full re-shingle of the history;
+    * index-side hot buckets are bounded by ``max_bucket_size`` with
+      ``min_bucket_size=1`` (unlike the self-join path, a singleton
+      history bucket CAN pair with a batch doc).
+
+    With ``prune_postings`` the batch's postings lineage evaluates twice
+    (once to collect the ≤ num_buckets probed partition ids, once in the
+    candidate join) — deliberate: the batch is the SMALL side by
+    definition, and a persist() the caller never sees would leak in a
+    long-lived session (same policy as ``sample_exact_fraction``).
+    Callers probing with a large batch can persist it themselves.
+    """
+    from ..sinks import materialize as mat
+
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    new_posts = banded_postings(
+        batch,
+        id_col,
+        text_col,
+        meta.shingle_k,
+        meta.num_hashes,
+        meta.bands,
+        meta.seed,
+    ).select(F.col("_id").alias("new_id"), "band", "bucket")
+
+    postings_path = f"{index_path}/postings"
+    visible = set(mat.visible_parts(spark, postings_path))
+    if prune_postings:
+        probed = mat.with_bucket(
+            new_posts.select("band", "bucket").distinct(),
+            ["band", "bucket"],
+            meta.num_buckets,
+        )
+        probed_parts = {
+            r[mat.PART_COL] for r in probed.select(mat.PART_COL).distinct().collect()
+        }
+        visible &= probed_parts
+    index_posts = (
+        spark.read.parquet(postings_path)
+        .where(F.col(mat.PART_COL).isin(sorted(visible)))
+        .select(F.col("doc_id").alias("hist_id"), "band", "bucket")
+    )
+    index_posts = drop_hot_buckets(
+        index_posts,
+        ["band", "bucket"],
+        max_bucket_size,
+        "minhash_incremental_duplicates",
+        min_bucket_size=1,
+    )
+    cands = (
+        new_posts.join(index_posts, ["band", "bucket"])
+        .where(F.col("new_id") != F.col("hist_id"))
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+
+    new_sh = add_shingles(
+        _spread(batch.select(F.col(id_col).alias("new_id"), text_col), "new_id"),
+        text_col,
+        meta.shingle_k,
+    ).select("new_id", F.col("shingles").alias("sh_a"))
+    # candidate-only verify: only history docs that appear in a candidate
+    # pair are read and shingled
+    hist_cand = history.select(F.col(id_col).alias("hist_id"), text_col).join(
+        cands.select("hist_id").distinct(), "hist_id", "left_semi"
+    )
+    hist_sh = add_shingles(hist_cand, text_col, meta.shingle_k).select(
+        "hist_id", F.col("shingles").alias("sh_b")
+    )
+    return (
+        cands.join(new_sh, "new_id")
+        .join(hist_sh, "hist_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "hist_id", "jaccard")
+    )
 
 
 def near_dup_survivors(

@@ -144,6 +144,78 @@ def sample_k_per_group(
     )
 
 
+def resample_by_group(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 1.0,
+    seed: int = 42,
+    hash_impl: str = "xxhash64",
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic mixture resampling: emit each row ``rate(group)``
+    times in expectation — the data-MIXING primitive (e.g. 2.5× a curated
+    source, 0.25× raw crawl) that turns per-source target weights into a
+    concrete training corpus.
+
+    A row whose group has rate ``r`` emits ``floor(r)`` full copies plus
+    one more iff its hash bucket falls under the fractional part — so a
+    group's realized factor converges to ``r`` while every decision stays
+    a pure function of (key, seed): partition-invariant, reproducible,
+    and consistent (the same doc is up/down-weighted identically
+    everywhere it appears, unlike ``DataFrame.sample`` whose seed is
+    per-partition). Copies are numbered ``0..n-1`` in ``copy_col`` so
+    downstream shuffling/packing can treat them as distinct rows.
+
+    Scale shape: one narrow JVM projection + ``explode`` — NO shuffle at
+    any rate; output amplification is bounded by ``max(rates)``.
+    Fractional thresholds are precomputed as integers against the 2^20
+    hash-bucket space, so an engine-portable oracle (``hash_impl="md5"``)
+    reproduces the exact copy set.
+    """
+    import math
+
+    if hash_impl == "md5":
+        bucket = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{seed}:"), F.col(key_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(_BUCKETS),
+        )
+    else:
+        bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BUCKETS))
+
+    def n_copies(rate: float) -> F.Column:
+        if rate < 0:
+            raise ValueError(f"negative rate: {rate}")
+        full = int(math.floor(rate))
+        thr = int(round((rate - full) * _BUCKETS))
+        if thr <= 0:
+            return F.lit(full)
+        return F.lit(full) + F.when(bucket < F.lit(thr), 1).otherwise(0)
+
+    expr = n_copies(default_rate)
+    for g, r in sorted(rates.items()):
+        expr = F.when(F.col(group_col) == g, n_copies(r)).otherwise(expr)
+
+    copies = F.when(expr > 0, F.sequence(F.lit(0), expr - 1)).otherwise(
+        F.array().cast("array<integer>")
+    )
+    # explode (not explode_outer): n=0 rows are downsampled away
+    return df.withColumn(copy_col, F.explode(copies))
+
+
 def filter_node_set(neurons: DataFrame, node_set_pops: list[str] | None) -> DataFrame:
     """Node-set filter: keep neurons of the named populations.
 
