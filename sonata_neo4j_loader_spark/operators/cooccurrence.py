@@ -93,11 +93,16 @@ def cooccurrence_edges(
             "entity_a",
             "entity_b",
             "n_docs",
+            # cast to double BEFORE multiplying: long*long overflows int64
+            # at 10^12-doc scale (N·c_ab ~ 10^19 > Long.MAX — ANSI throws,
+            # non-ANSI wraps negative and log() returns garbage); doubles
+            # carry the magnitude fine and the ratio stays exact at any
+            # fixture scale that fits 2^53
             F.round(
                 F.log(
-                    F.col("_n_total")
+                    F.col("_n_total").cast("double")
                     * F.col("n_docs")
-                    / (F.col("_ca") * F.col("_cb"))
+                    / (F.col("_ca").cast("double") * F.col("_cb"))
                 ),
                 6,
             ).alias("pmi"),

@@ -107,7 +107,14 @@ def dedup_paragraphs(
         ).alias("kept_text"),
         F.count(F.lit(1)).cast("int").alias("n_kept"),
     )
-    n_chunks = F.ceil(F.size(_words_expr(text_col)) / words_per_chunk).cast("int")
+    # coalesce: NULL text would otherwise yield n_chunks=NULL (size(split)
+    # of NULL) next to kept_text=''/n_kept=0, and the NULL n_dropped would
+    # silently drop out of downstream SUM() accounting — a NULL doc is an
+    # empty doc here, consistently 0 across all four stat columns
+    n_chunks = F.coalesce(
+        F.ceil(F.size(_words_expr(text_col)) / words_per_chunk).cast("int"),
+        F.lit(0),
+    )
     return (
         df.select(F.col(id_col), n_chunks.alias("n_chunks"))
         .join(reassembled, id_col, "left")

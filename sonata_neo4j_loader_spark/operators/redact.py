@@ -17,7 +17,7 @@ rides the same pipeline that already reads the text bytes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # class -> (pattern, replacement token). INSERTION ORDER IS THE
@@ -33,17 +33,6 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     ),
     "ipv4": (r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "<IP>"),
 }
-
-
-def redacted_expr(
-    col: str | Column, patterns: dict[str, tuple[str, str]] | None = None
-) -> Column:
-    """Column expression applying every pattern in order (null passes
-    through, as with any string function)."""
-    out = F.col(col) if isinstance(col, str) else col
-    for pattern, token in (patterns or PII_PATTERNS).values():
-        out = F.regexp_replace(out, pattern, token)
-    return out
 
 
 def redact_pii(

@@ -50,10 +50,14 @@ def test_fractional_rate_converges_and_is_deterministic(spark):
     n = {lang: 0 for lang in ("en", "de", "und")}
     for doc_id, _ in rows1:
         n[("en", "de", "und")[doc_id % 3]] += 1
-    per_group = 20_000 // 3
-    assert abs(n["en"] / per_group - 2.5) < 0.05
-    assert abs(n["de"] / per_group - 0.25) < 0.05
-    assert n["und"] == per_group + (1 if 20_000 % 3 else 0)  # default_rate=1
+    # exact residue-class sizes in range(20_000): 0 mod 3 -> 6667 (en),
+    # 1 mod 3 -> 6667 (de), 2 mod 3 -> 6666 (und)
+    n_en = len(range(0, 20_000, 3))
+    n_de = len(range(1, 20_000, 3))
+    n_und = len(range(2, 20_000, 3))
+    assert abs(n["en"] / n_en - 2.5) < 0.05
+    assert abs(n["de"] / n_de - 0.25) < 0.05
+    assert n["und"] == n_und  # default_rate=1 passes the group through
 
 
 def test_md5_twin_matches_python_recompute(spark):

@@ -125,15 +125,21 @@ def main() -> int:
     oracles = entry_mod.staged_oracle_sql() if staged else entry_mod.oracle_sql()
     todo = [(n, f) for n, f in qs.items() if not only or n in only]
     # warm the session-keyed memos so parallel cold calls don't duplicate
-    # the fixture-pipeline build (benign but wasteful)
-    if any(n.startswith("kg_") for n, _ in todo) and hasattr(entry_mod, "_kg_outputs"):
-        entry_mod._kg_outputs(spark)
-    # same race for the minhash pair memo: two cold threads would both run
-    # the heaviest LSH+verify build and the loser's persist() would leak
-    if any(n.startswith("minhash_") for n, _ in todo) and hasattr(
-        entry_mod, "_minhash_pairs"
-    ):
-        entry_mod._minhash_pairs(spark, SF_DIR)
+    # the fixture-pipeline build (benign but wasteful). Staged queries
+    # never consume these memos (staged kg_* build their own inputs and
+    # minhash_incremental_dups uses _drained_sink), so warming them on a
+    # --staged run would pay the two heaviest builds for nothing.
+    if not staged:
+        if any(n.startswith("kg_") for n, _ in todo) and hasattr(
+            entry_mod, "_kg_outputs"
+        ):
+            entry_mod._kg_outputs(spark)
+        # same race for the minhash pair memo: two cold threads would both
+        # run the heaviest LSH+verify build and the loser's persist() leaks
+        if any(n.startswith("minhash_") for n, _ in todo) and hasattr(
+            entry_mod, "_minhash_pairs"
+        ):
+            entry_mod._minhash_pairs(spark, SF_DIR)
 
     failures = 0
     if jobs <= 1:
