@@ -3610,6 +3610,60 @@ def docs_mixture_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang_id", "copy_id")
 
 
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_case_sql(col: str, seed: int = 13) -> str:
+    """DuckDB CASE expression twinning ``splits.split_expr`` — thresholds
+    come from the operator's own ``split_thresholds`` so the oracle can
+    never drift from the engine's rounding."""
+    from sonata_neo4j_loader_spark.operators import splits
+
+    bucket = (
+        f"(('0x' || substr(md5('{seed}:' || CAST({col} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {1 << 20})"
+    )
+    pairs = splits.split_thresholds(_SPLIT_FRACS)
+    whens = " ".join(
+        f"WHEN {bucket} < {thr} THEN '{name}'" for name, thr in pairs[:-1]
+    )
+    return f"CASE {whens} ELSE '{pairs[-1][0]}' END"
+
+
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (operators/splits.py ``assign_splits``):
+    80/10/10 train/val/test as a pure function of (doc_id, seed) — one
+    narrow projection, no shuffle, partition-invariant and stable under
+    incremental ingest (unlike ``randomSplit``, whose seed is
+    per-partition). md5 hash twin so the DuckDB oracle reproduces the
+    exact assignment; engine hot path defaults to xxhash64."""
+    from sonata_neo4j_loader_spark.operators import splits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return splits.assign_splits(
+        docs, "doc_id", _SPLIT_FRACS, seed=13, hash_impl="md5"
+    )
+
+
+def docs_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-PROOF split (operators/splits.py
+    ``assign_splits_by_cluster``): the verified near-dup pair set closes
+    into connected components and the split hashes each doc's CLUSTER
+    representative, so a 0.95-Jaccard twin can never land in train while
+    its sibling sits in test — transitive chains included (A~B~C stays
+    together even though A and C were never directly paired). Oracle:
+    recursive-CTE closure over the exact all-pairs-Jaccard set (same CTE
+    family as ``minhash_dup_survivors``) + the identical md5 bucket
+    thresholds — full (doc_id, group_id, split) value adjudication."""
+    from sonata_neo4j_loader_spark.operators import splits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = _minhash_pairs(spark, sf_dir)
+    return splits.assign_splits_by_cluster(
+        docs, pairs, "doc_id", _SPLIT_FRACS, seed=13, hash_impl="md5"
+    )
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries finished this round but held OUT of the driver registry
     until r06's rotation window opens (rationale in the section comment
@@ -3625,6 +3679,8 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccurrence": kg_cooccurrence,
         "minhash_incremental_dups": minhash_incremental_dups,
         "docs_mixture_resampled": docs_mixture_resampled,
+        "docs_split_assign": docs_split_assign,
+        "docs_split_leakproof": docs_split_leakproof,
     }
 
 
@@ -3874,5 +3930,32 @@ def staged_oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang_id, CAST(unnest(range(copies)) AS INT) AS copy_id
             FROM n
+        """,
+        # identical md5 bucket -> the operator's own cumulative integer
+        # thresholds (generated, never hand-copied, so they cannot drift)
+        "docs_split_assign": f"""
+            SELECT doc_id, {_split_case_sql("doc_id")} AS split
+            FROM documents
+        """,
+        # exact pair set -> recursive closure -> min-reachable group rep
+        # -> the same md5 split on the REP: cluster cohesion adjudicated
+        "docs_split_leakproof": f"""
+            WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}
+            ), und AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs
+            ), reach(u, v) AS (
+              SELECT u, v FROM und
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+            ), canon AS (
+              SELECT d.doc_id,
+                     least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS group_id
+              FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+              GROUP BY d.doc_id
+            )
+            SELECT doc_id, group_id, {_split_case_sql("group_id")} AS split
+            FROM canon
         """,
     }
