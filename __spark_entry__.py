@@ -10,6 +10,7 @@ ops are rows-only by design).
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -101,6 +102,7 @@ def _drained_sink(
 # address, and an id collision would hand a new session plans bound to the
 # dead one.
 _KG_OUTPUTS_CACHE: list = [None, None]
+_KG_OUTPUTS_LOCK = threading.Lock()
 
 
 def _kg_outputs(spark: SparkSession) -> dict:
@@ -112,12 +114,18 @@ def _kg_outputs(spark: SparkSession) -> dict:
     builds). The outputs are read-only downstream, so one build per
     session is both correct and what a user of the library would do.
     A new session evicts the previous entry (fixture-scale caches; the
-    dropped frames are released with their session). Not thread-safe by
-    design — the driver contract runs queries sequentially; concurrent
-    cold calls would merely build twice.
+    dropped frames are released with their session). Lock-guarded: the
+    driver contract runs queries sequentially, but the parallel oracle
+    checker can issue concurrent cold calls — without the lock both
+    threads build and the loser's persisted frames leak.
     """
     import weakref
 
+    with _KG_OUTPUTS_LOCK:
+        return _kg_outputs_locked(spark, weakref)
+
+
+def _kg_outputs_locked(spark: SparkSession, weakref) -> dict:
     ref = _KG_OUTPUTS_CACHE[0]
     if ref is None or ref() is not spark:
         # eviction hygiene: if the displaced entry's session is STILL LIVE
@@ -995,11 +1003,22 @@ def sampled_docs_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RESULT once per session halves its cost across the two driver rows;
 # weakref key as in _KG_OUTPUTS_CACHE.
 _MINHASH_PAIRS_CACHE: list = [None, None, None]
+_MINHASH_PAIRS_LOCK = threading.Lock()
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lock-guarded like _kg_outputs: the parallel oracle checker can hit
+    # this cold from several threads (three consumers: minhash_near_dups,
+    # minhash_dup_survivors, staged docs_split_leakproof) — without the
+    # lock each cold thread runs the heaviest LSH+verify build and the
+    # losers' persisted frames leak for the session's lifetime
     import weakref
 
+    with _MINHASH_PAIRS_LOCK:
+        return _minhash_pairs_locked(spark, sf_dir, weakref)
+
+
+def _minhash_pairs_locked(spark: SparkSession, sf_dir: str, weakref) -> DataFrame:
     ref = _MINHASH_PAIRS_CACHE[0]
     if ref is None or ref() is not spark or _MINHASH_PAIRS_CACHE[1] != sf_dir:
         # eviction hygiene (same rule as _kg_outputs): if the displaced

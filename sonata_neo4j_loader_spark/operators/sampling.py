@@ -28,6 +28,34 @@ from pyspark.sql import functions as F
 _BUCKETS = 1 << 20
 
 
+def hash_bucket_expr(
+    key_col: str | F.Column, seed: int, hash_impl: str = "xxhash64"
+) -> F.Column:
+    """The ONE deterministic hash-bucket scheme every per-key sampling /
+    resampling / splitting decision in this package hashes with: bucket =
+    hash(key, seed) mod 2^20. Shared so the operators (and their DuckDB
+    md5 twins) can never drift apart on substring width, seed-prefix
+    format, or bucket count.
+
+    ``hash_impl="xxhash64"`` is the JVM hot path; ``"md5"`` is the
+    engine-portable twin — first 8 hex chars of ``md5('<seed>:<key>')``
+    as a big-endian integer, reproducible in any SQL engine with md5.
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    if hash_impl == "md5":
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(_BUCKETS),
+        )
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
+
+
 def sample_by_hash(
     df: DataFrame, key_col: str, proportion: float, seed: int = 42
 ) -> DataFrame:
@@ -176,25 +204,7 @@ def resample_by_group(
     """
     import math
 
-    if hash_impl == "md5":
-        bucket = F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"{seed}:"), F.col(key_col).cast("string")
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-            F.lit(_BUCKETS),
-        )
-    else:
-        bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BUCKETS))
+    bucket = hash_bucket_expr(key_col, seed, hash_impl)
 
     def n_copies(rate: float) -> F.Column:
         if rate < 0:

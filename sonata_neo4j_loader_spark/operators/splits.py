@@ -40,24 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .canonicalize import apply_canonical_mapping, connected_components
-
-_BUCKETS = 1 << 20
-
-
-def _bucket_expr(key_col: str | Column, seed: int, hash_impl: str) -> Column:
-    key = F.col(key_col) if isinstance(key_col, str) else key_col
-    if hash_impl == "md5":
-        return F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-            F.lit(_BUCKETS),
-        )
-    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
+from .sampling import _BUCKETS, hash_bucket_expr
 
 
 def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
@@ -99,7 +82,7 @@ def split_expr(
     One CASE with ascending cumulative thresholds — the first threshold
     the bucket falls under wins, the last split is the fallthrough.
     """
-    bucket = _bucket_expr(key_col, seed, hash_impl)
+    bucket = hash_bucket_expr(key_col, seed, hash_impl)
     pairs = split_thresholds(fractions)
     if len(pairs) == 1:
         return F.lit(pairs[0][0])

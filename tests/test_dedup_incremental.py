@@ -83,13 +83,19 @@ def test_incremental_prune_is_lossless_and_prunes_partitions(spark, tmp_path):
     assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
     # one doc posts to 8 bands -> at most 8 of the 16 posting partitions
     # may be listed; partition pruning must show in the physical plan.
-    # (Match on PartitionFilters, not the scan path: Spark truncates the
-    # FileScan Location string, so path substrings are brittle.)
+    # Anchor to a FileScan's PartitionFilters carrying an IN-list on the
+    # sink's partition column (NOT the scan path: Spark truncates the
+    # FileScan Location string, so path substrings are brittle; and NOT
+    # any loose 'part' substring, which another scan could satisfy).
+    from sonata_neo4j_loader_spark.sinks import materialize as mat
+
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     import re
 
-    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert any("part" in f for f in filters), plan
+    scan_filters = re.findall(r"FileScan[^\n]*PartitionFilters: \[([^\]]*)\]", plan)
+    assert any(
+        re.search(rf"{mat.PART_COL}#\d+ IN \(", f) for f in scan_filters
+    ), plan
 
 
 def test_singleton_history_bucket_pairs_with_batch_doc(spark, tmp_path):

@@ -124,22 +124,26 @@ def main() -> int:
     qs = entry_mod.staged_queries() if staged else entry_mod.queries()
     oracles = entry_mod.staged_oracle_sql() if staged else entry_mod.oracle_sql()
     todo = [(n, f) for n, f in qs.items() if not only or n in only]
-    # warm the session-keyed memos so parallel cold calls don't duplicate
-    # the fixture-pipeline build (benign but wasteful). Staged queries
-    # never consume these memos (staged kg_* build their own inputs and
-    # minhash_incremental_dups uses _drained_sink), so warming them on a
-    # --staged run would pay the two heaviest builds for nothing.
-    if not staged:
-        if any(n.startswith("kg_") for n, _ in todo) and hasattr(
-            entry_mod, "_kg_outputs"
-        ):
-            entry_mod._kg_outputs(spark)
-        # same race for the minhash pair memo: two cold threads would both
-        # run the heaviest LSH+verify build and the loser's persist() leaks
-        if any(n.startswith("minhash_") for n, _ in todo) and hasattr(
-            entry_mod, "_minhash_pairs"
-        ):
-            entry_mod._minhash_pairs(spark, SF_DIR)
+    # perf-only pre-warm of the session-keyed memos (the builds are
+    # lock-guarded in the entry module, so concurrent cold calls are SAFE
+    # — this just keeps the pool from serializing behind the first
+    # consumer's heavy build). Warm only when a selected query actually
+    # consumes the memo: staged kg_* build their own inputs, but staged
+    # docs_split_leakproof DOES ride on the minhash pair memo.
+    names = {n for n, _ in todo}
+    if (
+        not staged
+        and any(n.startswith("kg_") for n in names)
+        and hasattr(entry_mod, "_kg_outputs")
+    ):
+        entry_mod._kg_outputs(spark)
+    minhash_memo_users = {
+        "minhash_near_dups",
+        "minhash_dup_survivors",
+        "docs_split_leakproof",
+    }
+    if names & minhash_memo_users and hasattr(entry_mod, "_minhash_pairs"):
+        entry_mod._minhash_pairs(spark, SF_DIR)
 
     failures = 0
     if jobs <= 1:
