@@ -3683,6 +3683,23 @@ def docs_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + token-id encoding (operators/vocab.py): terms
+    with corpus count ≥ 2 get contiguous ids by (count desc, term asc) —
+    ranked via the distributed prefix-sum (packing.py), never a
+    corpus-wide single-partition window — and every document encodes to
+    its ``array<bigint>`` of ids with OOV → −1, positions preserved,
+    blank docs surviving as ``([], 0, 0)``. Oracle: DuckDB rebuilds the
+    identical vocabulary (row_number over the same total order) and
+    re-encodes via positional unnest + left join — full value
+    adjudication of ids, order, and unk accounting."""
+    from sonata_neo4j_loader_spark.operators import vocab as vocab_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    v = vocab_ops.build_vocab(docs, min_count=2)
+    return vocab_ops.encode_documents(docs, v)
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries finished this round but held OUT of the driver registry
     until r06's rotation window opens (rationale in the section comment
@@ -3700,6 +3717,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_resampled": docs_mixture_resampled,
         "docs_split_assign": docs_split_assign,
         "docs_split_leakproof": docs_split_leakproof,
+        "docs_tokenized": docs_tokenized,
     }
 
 
@@ -3976,5 +3994,41 @@ def staged_oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, group_id, {_split_case_sql("group_id")} AS split
             FROM canon
+        """,
+        # identical tokenization (lowercased whitespace split, blank
+        # guard), identical vocab total order (count desc, term asc ->
+        # 0-based row_number), positional re-encode via unnest(range)
+        "docs_tokenized": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ), vocab AS (
+              SELECT term, count(*) AS c
+              FROM (SELECT unnest(ws) AS term FROM toks)
+              GROUP BY term
+              HAVING count(*) >= 2
+            ), ranked AS (
+              SELECT term, row_number() OVER (ORDER BY c DESC, term) - 1 AS term_id
+              FROM vocab
+            ), pos AS (
+              SELECT doc_id, unnest(range(len(ws))) AS i, ws FROM toks
+            ), enc AS (
+              SELECT p.doc_id, p.i, coalesce(r.term_id, -1) AS tid
+              FROM (SELECT doc_id, i, ws[i + 1] AS term FROM pos) p
+              LEFT JOIN ranked r ON r.term = p.term
+            ), agg AS (
+              SELECT doc_id,
+                     list(tid ORDER BY i) AS token_ids,
+                     count(*) AS n_tokens,
+                     sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS n_unk
+              FROM enc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_unk, 0) AS n_unk
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         """,
     }
