@@ -3700,6 +3700,53 @@ def docs_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_ops.encode_documents(docs, v)
 
 
+def kg_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop neighborhood extraction (operators/graph.py
+    ``k_hop_neighborhood``): every neuron within 3 directed SYNAPSES_ONTO
+    hops of the two smallest source neurons — the subgraph-sampling
+    primitive for GNN training over the emitted graph. Level-synchronous
+    frontier BFS (first-reach = min distance, no min-agg); runs on the
+    REAL pipeline output (``_kg_outputs``, lock-guarded memo). Oracle:
+    independent plain-Python BFS over the fixture edge spec, VALUES."""
+    from sonata_neo4j_loader_spark.operators import graph
+
+    syn = _kg_outputs(spark)["synapse_triples"]
+    seeds = _kg_k_hop_seeds()
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "seed string")
+    return graph.k_hop_neighborhood(syn.select("subj", "obj"), seeds_df, k=3)
+
+
+def _kg_k_hop_seeds() -> list[str]:
+    return sorted(
+        {fixture.neuron_entity(sp, si) for _ep, sp, si, _tp, _ti in fixture.EDGES}
+    )[:2]
+
+
+def _kg_k_hop_oracle(k: int = 3) -> str:
+    adj: dict[str, set[str]] = {}
+    for _ep, sp, si, tp, ti in fixture.EDGES:
+        adj.setdefault(fixture.neuron_entity(sp, si), set()).add(
+            fixture.neuron_entity(tp, ti)
+        )
+    rows: list[tuple[str, str, int]] = []
+    for s in _kg_k_hop_seeds():
+        dist = {s: 0}
+        frontier = [s]
+        for hop in range(1, k + 1):
+            nxt = []
+            for u in frontier:
+                for v in sorted(adj.get(u, ())):
+                    if v not in dist:
+                        dist[v] = hop
+                        nxt.append(v)
+            frontier = nxt
+        rows.extend((s, n, h) for n, h in dist.items())
+    return (
+        f"SELECT seed, node, CAST(hop AS INT) AS hop "
+        f"FROM (VALUES {_values_rows(sorted(rows))}) AS t(seed, node, hop)"
+    )
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries finished this round but held OUT of the driver registry
     until r06's rotation window opens (rationale in the section comment
@@ -3718,6 +3765,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split_assign": docs_split_assign,
         "docs_split_leakproof": docs_split_leakproof,
         "docs_tokenized": docs_tokenized,
+        "kg_k_hop": kg_k_hop,
     }
 
 
@@ -4031,4 +4079,5 @@ def staged_oracle_sql() -> dict[str, str]:
                    coalesce(a.n_unk, 0) AS n_unk
             FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         """,
+        "kg_k_hop": _kg_k_hop_oracle(),
     }

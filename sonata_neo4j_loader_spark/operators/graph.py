@@ -95,6 +95,61 @@ def degree_stats(edges: DataFrame, src: str = "subj", dst: str = "obj") -> DataF
     )
 
 
+def k_hop_neighborhood(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "subj",
+    dst: str = "obj",
+    seed_col: str = "seed",
+) -> DataFrame:
+    """``(seed, node, hop)`` — every node within ``k`` directed hops of
+    each seed, with ``hop`` the BFS distance (min #edges; the seed itself
+    at hop 0).
+
+    The subgraph-extraction primitive for GNN training and entity-context
+    queries ("everything 2 synapses downstream of these neurons").
+    Level-synchronous frontier BFS: round ``i`` joins the CURRENT
+    frontier — never the full visited set — against the edge table, then
+    anti-joins the visited set so each (seed, node) is expanded exactly
+    once; reaching a node first at round ``i`` IS the min-distance
+    guarantee, no min-aggregation needed. Scale shape: ≤ ``k`` rounds
+    (small by use case), each one join keyed on the node (a hub key skews
+    a round the same way it skews any adjacency join — AQE's skew
+    handling applies) plus one (seed, node)-keyed anti join; state is the
+    visited set, bounded by the k-hop ball sizes, not the graph. Frontier
+    and visited are eagerly ``localCheckpoint``-ed per round (lineage
+    discipline of the module's other loops), and the loop exits early
+    when a frontier drains (one bounded count action per round).
+
+    Parallel edges and cycles are safe (``distinct`` frontiers, visited
+    anti-join); ``k = 0`` returns the seeds alone.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).distinct()
+    frontier = (
+        seeds.select(F.col(seed_col).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).alias("hop"))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for i in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_u"])
+            .select("seed", F.col("_v").alias("node"), F.lit(i).alias("hop"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "subj",

@@ -128,14 +128,16 @@ def main() -> int:
     # lock-guarded in the entry module, so concurrent cold calls are SAFE
     # — this just keeps the pool from serializing behind the first
     # consumer's heavy build). Warm only when a selected query actually
-    # consumes the memo: staged kg_* build their own inputs, but staged
-    # docs_split_leakproof DOES ride on the minhash pair memo.
+    # consumes the memo: most staged kg_* build their own inputs, but
+    # staged kg_k_hop rides on _kg_outputs and staged docs_split_leakproof
+    # on the minhash pair memo.
     names = {n for n, _ in todo}
-    if (
-        not staged
-        and any(n.startswith("kg_") for n in names)
-        and hasattr(entry_mod, "_kg_outputs")
-    ):
+    uses_kg_memo = (
+        any(n.startswith("kg_") for n in names)
+        if not staged
+        else "kg_k_hop" in names
+    )
+    if uses_kg_memo and hasattr(entry_mod, "_kg_outputs"):
         entry_mod._kg_outputs(spark)
     minhash_memo_users = {
         "minhash_near_dups",
