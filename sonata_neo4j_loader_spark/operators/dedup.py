@@ -322,11 +322,26 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_k: int = 5,
     threshold: float = 0.8,
+    join_hint: str | None = None,
 ) -> DataFrame:
-    """True shingle-Jaccard on candidate pairs; keep pairs ≥ threshold."""
+    """True shingle-Jaccard on candidate pairs; keep pairs ≥ threshold.
+
+    ``join_hint`` controls how the shingle-array side meets the pairs:
+    ``None`` leaves the planner free (fine when the corpus side is small),
+    ``'shuffle_hash'`` forces a shuffled hash join — the safe shape when
+    the shingle arrays are the HEAVY side: the planner's size estimate of
+    a computed array column is rows-based and routinely makes AQE build a
+    broadcast HashedRelation out of the *arrays* (a single-threaded
+    multi-hundred-MB build measured 23.4 s vs 9.5 s shuffled-hash at sf1.0
+    — OPTIMIZATION_r06.md), and at corpus scale that broadcast is the
+    8 GB-cap wall; shuffled-hash keeps both sides partitioned and builds
+    per-partition tables in parallel (guide §3.1).
+    """
     sh = add_shingles(
         _spread(df.select(F.col(id_col), text_col), id_col), text_col, shingle_k
     ).select(id_col, "shingles")
+    if join_hint:
+        sh = sh.hint(join_hint)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -345,6 +360,14 @@ def jaccard_verify(
     )
 
 
+# Verify-prefilter bitmap width: 16 longs = 1024 bits per document. Wide
+# enough that the union-popcount upper bound (see minhash_near_duplicates)
+# rejects ~97% of false LSH candidates at the bench corpus's similarity
+# profile, small enough (128 B/posting) that carrying it through the
+# band-bucket self-join costs ~1/12 of carrying the shingle arrays.
+_BITMAP_WORDS = 16
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -354,12 +377,165 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified by true Jaccard ≥ threshold."""
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, shingle_k, num_hashes, bands, seed
+    """MinHash-LSH candidates verified by true Jaccard ≥ threshold.
+
+    Output is IDENTICAL to ``jaccard_verify(minhash_lsh_candidates(...))``
+    — same bounded-bucket candidate pairs, same exact string-shingle
+    Jaccard — but the plan follows guide §8: decide with small rows, move
+    heavy rows once. The r05 shape attached the full shingle arrays
+    (~1.6 KB/doc) to EVERY candidate pair before the exact verify; at sf1.0
+    that was 9.9 M pairs of which only 2,544 were real (99.97% false
+    positives paying two array joins plus a per-pair ``array_intersect``).
+    This shape:
+
+    * carries a 1024-bit *shingle membership bitmap* — 16 scalar long
+      columns, not an array, so the pair filter stays inside whole-stage
+      codegen — plus the distinct-shingle count through the band-bucket
+      self-join (128 B/posting vs 1.6 KB);
+    * prunes pairs with two LOSSLESS bounds evaluated per co-occurrence:
+      the AllPairs size bound (J ≥ t ⇒ min(n_a,n_b) ≥ t·max(n_a,n_b)) and
+      the bitmap union bound — every set bit of ``bm_a|bm_b`` is hit by ≥1
+      element of A∪B, so ``popcount(bm_a|bm_b) ≤ |A∪B|``, hence
+      ``m = |A∩B| = n_a+n_b−|A∪B| ≤ n_a+n_b−popcount(bm_a|bm_b) = m_ub``
+      and J ≤ m_ub/(n_a+n_b−m_ub); pairs whose upper bound is below the
+      threshold cannot pass the exact verify and are dropped before the
+      pair ``distinct`` (sf1.0: 9.9 M → 327 K survivors);
+    * exact-verifies only the survivors (``jaccard_verify``, shuffled-hash
+      so the array side is never a broadcast build).
+
+    The hot-bucket bound is the same [2, max_bucket_size] membership rule
+    as :func:`drop_hot_buckets`, computed as a count window over
+    (band, bucket) — the self-join's own shuffle key — so the bound rides
+    the join's exchange instead of a second aggregate branch over the
+    posting lineage (guide §2.4: same-key window needs no extra shuffle).
+
+    Every derived pair-filter column is wrapped non-nullable
+    (``coalesce(…, 0)``): a nullable filter column makes Catalyst infer
+    ``isnotnull(<full expression tree>)`` constraints and push them into
+    the scan filter, re-evaluating the shingle pipeline once per conjunct
+    per row (measured 460 s+ at sf1.0 — the silent plan trap this module
+    now documents).
+
+    Measured sf1.0 (50 K docs, local[32], noop sink, min-of-2): 61.5 s →
+    9.5 s, byte-identical 2,544-pair output. ``max_bucket_size=None``
+    disables the bucket bound (exact small-scale mode, same contract as
+    :func:`minhash_lsh_candidates`).
+    """
+    from pyspark.sql import Window
+
+    rows_per_band = num_hashes // bands
+    nwords = _BITMAP_WORDS
+    nbits = nwords * 64
+    sh = add_shingles(
+        _spread(df.select(F.col(id_col).alias("_id"), text_col), "_id"),
+        text_col,
+        shingle_k,
+    ).select("_id", "shingles")
+    hashed = sh.select(
+        "_id",
+        F.coalesce(F.size("shingles"), F.lit(0)).alias("n"),
+        F.transform(
+            "shingles", lambda s: F.xxhash64(s, F.lit(seed)).bitwiseAND(F.lit(0x7FFFFFFF))
+        ).alias("hs"),
     )
-    return jaccard_verify(cands, df, id_col, text_col, shingle_k, threshold)
+    word_cols = [
+        F.coalesce(
+            F.expr(
+                f"aggregate(hs, cast(0 as bigint), (acc, h) -> "
+                f"if((h % {nbits}) div 64 = {w}, "
+                f"acc | shiftleft(cast(1 as bigint), cast(h % 64 as int)), acc))"
+            ),
+            F.lit(0),
+        ).alias(f"_bm{w}")
+        for w in range(nwords)
+    ]
+    params = _affine_params(num_hashes, seed)
+
+    def affine(a: int, b: int):
+        return lambda h: F.pmod(a * h + b, F.lit(_MERSENNE31))
+
+    sigs = hashed.select(
+        "_id",
+        "n",
+        *word_cols,
+        F.array(
+            *[F.array_min(F.transform("hs", affine(a, b))) for (a, b) in params]
+        ).alias("sig"),
+    )
+    bm_names = [f"_bm{w}" for w in range(nwords)]
+    posts = sigs.select(
+        "_id",
+        "n",
+        *bm_names,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "n", *bm_names, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        _LOG.info(
+            "minhash_near_duplicates: dropping buckets larger than %d members "
+            "(recall bound; pass max_bucket_size=None for exact)",
+            max_bucket_size,
+        )
+        bucket_w = Window.partitionBy("band", "bucket")
+        posts = (
+            posts.withColumn("_bn", F.count(F.lit(1)).over(bucket_w))
+            .where((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket_size))
+            .drop("_bn")
+        )
+    a = posts.select(
+        "band",
+        "bucket",
+        F.col("_id").alias("id_a"),
+        F.col("n").alias("n_a"),
+        *[F.col(f"_bm{w}").alias(f"_a{w}") for w in range(nwords)],
+    )
+    b = posts.select(
+        "band",
+        "bucket",
+        F.col("_id").alias("id_b"),
+        F.col("n").alias("n_b"),
+        *[F.col(f"_bm{w}").alias(f"_b{w}") for w in range(nwords)],
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    size_ok = (na >= nb * F.lit(threshold) - F.lit(1e-9)) & (
+        nb >= na * F.lit(threshold) - F.lit(1e-9)
+    )
+    or_pop = None
+    for w in range(nwords):
+        word = F.bit_count(F.col(f"_a{w}").bitwiseOR(F.col(f"_b{w}")))
+        or_pop = word if or_pop is None else or_pop + word
+    m_ub = na + nb - or_pop
+    ub_ok = m_ub.cast("double") >= F.lit(threshold) * (na + nb - m_ub).cast(
+        "double"
+    ) - F.lit(1e-9)
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where((F.col("id_a") < F.col("id_b")) & size_ok & ub_ok)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(
+        cands, df, id_col, text_col, shingle_k, threshold, join_hint="shuffle_hash"
+    )
 
 
 def build_minhash_index(
