@@ -25,7 +25,14 @@ class PipelineConfig:
     edge_proportion: float = 1.0
     node_set_pops: list[str] | None = None
     seed: int = 42
-    mention_impl: str = "arrow"  # 'arrow' | 'native'
+    # 'native' (pure-JVM regexp, default) | 'arrow' (pandas-UDF batches).
+    # The two are row-identical (tests/test_triples_golden.py runs both).
+    # Optimization r06 flipped the default to native per guide §4.1 —
+    # prefer built-ins over any Python boundary: at 10M docs/local[32] the
+    # full leg measured 48.5/48.6 s (native, back-to-back) vs 55.6/61.4 s
+    # (arrow), and native removes the ArrowEvalPython node plus the Python
+    # worker pool's scheduling variance from the hot path entirely.
+    mention_impl: str = "native"  # 'native' | 'arrow'
     link_strategy: str = "broadcast"  # 'broadcast' | 'salted'
     cc_strategy: str = "auto"  # 'auto' | 'local' | 'distributed'
     salt_buckets: int = 8

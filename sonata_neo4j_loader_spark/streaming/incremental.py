@@ -35,7 +35,7 @@ def start_incremental_attribute_triples(
     alias_edges: DataFrame | None,
     output_dir: str,
     checkpoint_dir: str,
-    mention_impl: str = "arrow",
+    mention_impl: str = "native",
     max_files_per_trigger: int | None = None,
 ):
     """Drain all currently-available new documents into the triple sink.
