@@ -867,7 +867,26 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS + NOT EXISTS chain (TPC-H q21 shape, lateness = shipped >60
     days after order date): suppliers who were the ONLY late supplier in a
-    multi-supplier order. One semi join + one anti join on the same fact."""
+    multi-supplier order.
+
+    Optimization r06 (guide §2.4, remove shuffles outright): the r05 shape
+    evaluated the ``late`` subquery TWICE (semi-join probe + anti-join
+    probe), scanning lineitem three times and joining orders twice, with a
+    non-equi SortMergeJoin LeftAnti as the widest exchange. The EXISTS /
+    NOT-EXISTS pair is equivalent to two per-order aggregates:
+
+    * NOT EXISTS other late supplier  ⟺  the order's distinct-late-
+      supplier count is exactly 1 (the surviving pair is that one row);
+    * EXISTS another supplier on the order (late or not)  ⟺  the order's
+      distinct-supplier count over ALL lineitems is ≥ 2.
+
+    Both aggregates key on ``l_orderkey``, so the late side is ONE
+    lineitem⋈orders pass → distinct → groupBy (the groupBy reuses the
+    distinct's hash partitioning — zero extra exchange) and the
+    multi-supplier side is one skinny (orderkey, suppkey) distinct →
+    groupBy, semi-joined at dimension size. Plan diff: 3 lineitem scans →
+    2, SortMergeJoin LeftAnti eliminated; row-identical per the DuckDB
+    oracle (the oracle text is unchanged)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
@@ -877,19 +896,20 @@ def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    others = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
-    multi = late.join(
-        others,
-        (late["l_orderkey"] == F.col("ok2")) & (late["l_suppkey"] != F.col("sk2")),
-        "left_semi",
+    multi_orders = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_nsup"))
+        .where(F.col("_nsup") >= 2)
+        .select("l_orderkey")
     )
-    other_late = late.select(
-        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
-    )
-    sole = multi.join(
-        other_late,
-        (multi["l_orderkey"] == F.col("ok3")) & (multi["l_suppkey"] != F.col("sk3")),
-        "left_anti",
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_nlate"), F.min("l_suppkey").alias("l_suppkey"))
+        .where(F.col("_nlate") == 1)
+        .join(multi_orders, "l_orderkey", "left_semi")
+        .select("l_orderkey", "l_suppkey")
     )
     return (
         sole.join(F.broadcast(s), sole["l_suppkey"] == s["s_suppkey"])
@@ -917,7 +937,12 @@ def events_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # _spread (guide §2.5 input skew): documents.parquet is written as ONE
+    # row group, so the scan is a single task no matter what
+    # maxPartitionBytes says — and this query's regex/split work would run
+    # on one core of 32 (measured 3.6 s at sf1.0 single-task vs ~0.5 s
+    # spread). The tiny doc shuffle is far cheaper than the serialized map.
+    docs = dedup._spread(_t(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         text.token_count("text"),
@@ -947,7 +972,9 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: single-row-group input — parallelize the normalization
+    # regex and the map-side partial aggregation (see text_stats).
+    docs = dedup._spread(_t(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.select("doc_id", text.normalized_text("text"))
         .groupBy("normalized_text")

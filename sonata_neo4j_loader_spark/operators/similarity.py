@@ -60,17 +60,35 @@ def brute_force_topk(
     per-query ranking, which partitions by query_id (|Q| partitions).
     Self-matches (same id) are excluded.
     """
+    from .dedup import _spread
+
+    # Optimization r06: precompute each side's L2 norm ONCE per row
+    # instead of re-running the norm aggregates per (query, corpus) pair —
+    # the cosine's three array passes per pair become one (the dot). The
+    # expression tree is unchanged (dot / (norm_q * norm_c), same operand
+    # order), so the doubles — and the rounded output — are bit-identical.
+    # _spread: single-row-group corpus files scan as one task (guide §2.5);
+    # the O(|Q|·N·dim) scoring loop must not run on one core.
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+    ).withColumn("_q_norm", l2_norm(F.col("q_vec")))
     scored = (
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+        _spread(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
+            "vec_id",
+        )
+        .withColumn("_c_norm", l2_norm(F.col("c_vec")))
         .join(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("_q_norm") * F.col("_c_norm")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
