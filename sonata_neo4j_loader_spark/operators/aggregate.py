@@ -99,17 +99,38 @@ def rich_aggregated_synapse_triples(
     """
     joined = _with_groups(synapses, neuron_groups, broadcast_groups)
 
-    avgs = joined.groupBy("src_group", "tgt_group").agg(
-        F.count(F.lit(1)).alias("n_synapses"),
+    # ONE pass over the fact frame (optimization r06): the r05 shape
+    # aggregated `joined` twice — once for the per-pair averages, once for
+    # the per-(pair, type) distribution counts — re-running the corpus
+    # join + scan per consumer. Aggregating at the FINER key first
+    # (pair, afferent_section_type) lets both outputs derive from the
+    # level-1 frame, which is dimension-sized (pairs × |type domain|):
+    # avg_m = sum(sum_m)/sum(cnt_m) per pair (identical semantics — avg
+    # ignores nulls, all-null groups stay null because sum of nulls is
+    # null), and the distribution counts are the level-1 rows themselves.
+    level1 = joined.groupBy("src_group", "tgt_group", "afferent_section_type").agg(
+        F.count(F.lit(1)).alias("_cnt"),
         *[
-            F.avg(F.element_at("props", m)).alias(f"avg_{m}")
+            F.sum(F.element_at("props", m)).alias(f"_sum_{m}")
+            for m in RICH_MEASURES
+        ],
+        *[
+            F.count(F.element_at("props", m)).alias(f"_n_{m}")
             for m in RICH_MEASURES
         ],
     )
-    by_type = (
-        joined.where(F.col("afferent_section_type").isNotNull())
-        .groupBy("src_group", "tgt_group", "afferent_section_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    avgs = level1.groupBy("src_group", "tgt_group").agg(
+        F.sum("_cnt").alias("n_synapses"),
+        *[
+            (F.sum(f"_sum_{m}") / F.sum(f"_n_{m}")).alias(f"avg_{m}")
+            for m in RICH_MEASURES
+        ],
+    )
+    by_type = level1.where(F.col("afferent_section_type").isNotNull()).select(
+        "src_group",
+        "tgt_group",
+        "afferent_section_type",
+        F.col("_cnt").alias("cnt"),
     )
     # window-free normalization: totals come from the avgs frame (n_synapses)
     totals = avgs.select("src_group", "tgt_group", "n_synapses")

@@ -186,19 +186,32 @@ def extract_documents(parsed: DataFrame, impl: str = "arrow") -> DataFrame:
         pairs = F.expr(f"regexp_extract_all(doc_text, '{_sql_re(_ENTITY_RE)}', 0)")
         prop_sql = _sql_re(_PROP_RE)
         attr_sql = _sql_re(_NODE_ATTR_RE)
+        # The substring pre-masks GATE the extractalls themselves (not just
+        # the emitted map): the entry arrays materialize in this projection
+        # for every row, so an ungated extractall ran the props regex — the
+        # most expensive expression of the stage — over the ~half of the
+        # corpus that cannot match it (the arrow impl already masks this
+        # way; r06 brought the native impl to parity). Emission below is
+        # additionally gated on the same predicates, so outputs are
+        # unchanged — docs without the keyword produced NULL maps before
+        # and still do.
         extracted = parsed.select(
             "doc_id",
             "media_refs",
             "doc_text",
             F.expr(
-                f"transform(regexp_extract_all(doc_text, '{prop_sql}', 0),"
+                f"CASE WHEN contains(doc_text, 'synapse') THEN"
+                f" transform(regexp_extract_all(doc_text, '{prop_sql}', 0),"
                 f" h -> struct(regexp_extract(h, '{prop_sql}', 1) as k,"
                 f" cast(regexp_extract(h, '{prop_sql}', 2) as double) as v))"
+                f" ELSE NULL END"
             ).alias("_prop_entries"),
             F.expr(
-                f"transform(regexp_extract_all(doc_text, '{attr_sql}', 0),"
+                f"CASE WHEN contains(doc_text, 'layer') OR contains(doc_text, 'region')"
+                f" THEN transform(regexp_extract_all(doc_text, '{attr_sql}', 0),"
                 f" h -> struct(regexp_extract(h, '{attr_sql}', 1) as k,"
                 f" regexp_extract(h, '{attr_sql}', 2) as v))"
+                f" ELSE NULL END"
             ).alias("_attr_entries"),
         )
 

@@ -62,13 +62,29 @@ def build_triples(
     """
     cfg = config or PipelineConfig()
 
-    # The dictionary and alias mapping are dimension-sized and reused by
-    # three link passes / three rewrites — persist() them. persist (not
-    # localCheckpoint) matters: with AQE on, even a *lazy* localCheckpoint
-    # executes every upstream query stage at DAG-build time
-    # (AdaptiveSparkPlanExec materializes intermediate stages on toRdd),
-    # serializing the pipeline; persist stays truly lazy, keeps the plan
-    # Catalyst-visible, and lets one final action fuse + share everything.
+    # Canonicalization moved INTO the dictionary (optimization r06, guide
+    # §2.4 — remove shuffle-stage work outright): the r05 shape linked
+    # every corpus-scale frame against the raw dictionary and then applied
+    # the alias→canonical rewrite to each output (five broadcast left
+    # joins over ~25M-row frames at sf1.0). Rewriting the DICTIONARY's
+    # entity ids once — a dimension-sized join — makes every link output
+    # canonical by construction: link(x, canonical(entities)) is
+    # row-identical to canonical(link(x, entities)) because the rewrite is
+    # applied per matched dictionary row either way. The per-frame
+    # apply_canonical_mapping calls are gone from the hot path.
+    if alias_edges is not None:
+        mapping = canonicalize.connected_components(
+            alias_edges, strategy=cfg.cc_strategy
+        ).persist()
+        entities = canonicalize.apply_canonical_mapping(entities, mapping, "entity_id")
+
+    # The dictionary is dimension-sized and reused by three link passes —
+    # persist() it. persist (not localCheckpoint) matters: with AQE on,
+    # even a *lazy* localCheckpoint executes every upstream query stage at
+    # DAG-build time (AdaptiveSparkPlanExec materializes intermediate
+    # stages on toRdd), serializing the pipeline; persist stays truly
+    # lazy, keeps the plan Catalyst-visible, and lets one final action
+    # fuse + share everything.
     entities = entities.persist()
 
     # stage 1: parse + invariant audit
@@ -87,17 +103,12 @@ def build_triples(
     mention_rows = mentions.mentions_from_extracted(extracted)
     synapse_rows = mentions.synapses_from_extracted(extracted)
 
-    # stage 3: entity linking (broadcast dictionary / salted SMJ)
+    # stage 3+4: entity linking against the canonical dictionary (the
+    # alias→canonical rewrite already happened dictionary-side above, so
+    # linked ids are canonical by construction).
     linked = linking.link_mentions(
         mention_rows, entities, strategy=cfg.link_strategy, salt_buckets=cfg.salt_buckets
     )
-
-    # stage 4: canonicalization (connected components over alias edges)
-    if alias_edges is not None:
-        mapping = canonicalize.connected_components(
-            alias_edges, strategy=cfg.cc_strategy
-        ).persist()
-        linked = canonicalize.apply_canonical_mapping(linked, mapping, "entity_id")
     # NOT persisted: linked is corpus-scale (one row per mention) and,
     # since the attribute branch went pair-first, the triple path's only
     # use of it is the dimension-sized `neurons` distinct below (itself
@@ -108,8 +119,37 @@ def build_triples(
     # mention rows in executor storage. Cache dimension-sized frames;
     # recompute corpus-sized narrow derivations.
 
-    # stage 5a: neuron universe + sampling / node-set restriction
-    neurons = triples.known_neurons(linked)
+    # stage 5a: neuron universe + sampling / node-set restriction.
+    # Optimization r06 (guide §2.3, shuffle keys not payloads): the r05
+    # shape derived the universe as known_neurons(linked) — exploding ALL
+    # mentions of every document (media refs included) through the link
+    # join and distinct-ing the corpus-scale result — even though the
+    # timed triple path needs nothing else from `linked`. Instead explode
+    # only the neuron-kind mentions, take the distinct SURFACES first
+    # (map-side combine over a dictionary-sized set), and run the link +
+    # canonical joins on that dimension-sized frame. Row-identical:
+    # distinct-before-join equals distinct-after-join for an inner
+    # equi-join keyed on the distinct column, and kind='media' rows can
+    # never match kind='neuron'. `linked` is still the source for the
+    # node outputs below, which materialize outside the triple path.
+    neuron_surf = (
+        extracted.select(
+            F.explode(
+                F.filter(F.col("mentions"), lambda m: m["kind"] == F.lit("neuron"))
+            ).alias("_m")
+        )
+        .select(F.col("_m.surface").alias("surface"))
+        .distinct()
+    )
+    if cfg.link_strategy == "broadcast":
+        neuron_ids = neuron_surf.join(F.broadcast(entities), "surface", "inner")
+    else:
+        # distinct surfaces have no hot keys — a plain shuffle join is the
+        # salted strategy's equivalent here (salting exists to split heavy
+        # repeated surfaces, which a distinct set cannot contain)
+        neuron_ids = neuron_surf.join(entities, "surface", "inner")
+    neuron_ids = neuron_ids.select(F.col("entity_id").alias("neuron_id"))
+    neurons = neuron_ids.distinct()
     neurons = sampling.filter_node_set(neurons, cfg.node_set_pops)
     neurons = sampling.sample_by_hash(neurons, "neuron_id", cfg.node_proportion, cfg.seed)
     neurons = neurons.persist()
@@ -135,9 +175,6 @@ def build_triples(
         strategy=cfg.link_strategy,
         salt_buckets=cfg.salt_buckets,
     ).withColumnRenamed("entity_id", "obj").drop("surface", "entity_type")
-    if alias_edges is not None:
-        pairs = canonicalize.apply_canonical_mapping(pairs, mapping, "subj")
-        pairs = canonicalize.apply_canonical_mapping(pairs, mapping, "obj")
     attr = triples.neuron_attribute_triples_from_pairs(pairs)
     attr = attr.join(
         F.broadcast(neurons.withColumnRenamed("neuron_id", "subj"))
@@ -168,9 +205,6 @@ def build_triples(
         .withColumnRenamed("entity_id", "tgt_id")
         .drop("surface", "entity_type")
     )
-    if alias_edges is not None:
-        both_link = canonicalize.apply_canonical_mapping(both_link, mapping, "src_id")
-        both_link = canonicalize.apply_canonical_mapping(both_link, mapping, "tgt_id")
     syn = triples.synapse_triples(both_link, neurons, cfg.broadcast_neurons)
     syn = sampling.sample_by_hash(syn, "doc_id", cfg.edge_proportion, cfg.seed)
     syn = syn.persist()
