@@ -436,8 +436,9 @@ def packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``packed_documents``): docs in doc_id order, whitespace-token
     budget 256 per bin, boundary-overflow greedy semantics
     (bin = floor(exclusive_prefix/budget)). The distributed part is the
-    global exclusive prefix sum — range partition + in-partition window
-    + broadcast partition offsets, never a corpus-wide single-partition
+    global exclusive prefix sum — literal range boundaries (deterministic
+    under any evaluation order/eviction, r06) + in-bucket window +
+    broadcast bucket offsets, never a corpus-wide single-partition
     window (the plan is pytest-pinned). Exact ANSI window-frame oracle."""
     from sonata_neo4j_loader_spark.operators import packing
 

@@ -13,21 +13,26 @@ corpus, which is the interesting distributed part:
 * the naive formulation — ``sum().over(Window.orderBy(key))`` — plans a
   single-partition window: the entire corpus funnels through ONE reducer.
   Correct at fixture scale, fatal at 10^12 docs;
-* :func:`packed_documents` instead uses the classic two-phase scan:
-  range-repartition by the order key (contiguous key ranges, one
-  partition each), window-sum INSIDE each partition (balanced shuffle),
-  and add per-partition offsets computed from the partition totals — a
-  dimension-sized frame (one row per partition) aggregated once and
-  broadcast back. Total cost: the range shuffle + one map-side-combined
-  agg over P rows; no stage sees more than one partition's rows.
+* :func:`exclusive_prefix_sum` instead uses the classic two-phase scan:
+  assign each row a contiguous key-range bucket, window-sum INSIDE each
+  bucket (balanced shuffle), and add per-bucket offsets computed from the
+  bucket totals — a dimension-sized frame (one row per bucket) aggregated
+  once and broadcast back. No stage sees more than one bucket's rows.
 
-Determinism: the prefix sum depends only on the global ordering by
-``order_col`` (ties impossible — unique key required), NOT on where the
-sampled range boundaries land, so the output is identical at any
-parallelism. The range-partitioned frame is persisted for the duration of
-the two passes because ``repartitionByRange`` SAMPLES boundaries per
-action — two un-cached actions could see different partitionings, and the
-offset join would mix them (offsets are keyed by physical partition id).
+Determinism (changed in optimization r06, closing the r05 driver-red
+``packed_docs`` row): bucket identity used to come from
+``repartitionByRange`` + ``spark_partition_id()``, whose SAMPLED range
+boundaries were pinned only by a ``persist()`` — any recompute (cache
+eviction, a second evaluation path in a harness) could resample the
+boundaries and mix bucket numbering between the offsets aggregate and the
+window branch. Boundaries are now computed ONCE on the driver from a
+deterministic hash-ranked key sample and baked into the plan as LITERALS
+(``_pid`` = number of boundary literals below the row's key), so every
+evaluation of every branch sees the same bucketing under any evaluation
+order, with no persist-as-correctness crutch and no retained cache.
+The boundary *quality* only affects load balance, never values: the
+prefix sum depends only on the global ordering by ``order_col``
+(ties impossible — unique key required).
 
 No counterpart in the reference (single-process pandas never needs a
 distributed scan ≙ data_extraction.py loads whole frames); oracle: ANSI
@@ -39,6 +44,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Boundary sample size per requested bucket: enough resolution that the
+# evenly-spaced cut points land near the true quantiles (64 sampled keys
+# per bucket ⇒ expected bucket-size error well under 2×), small enough
+# that the driver collect stays trivially bounded (num_buckets × 64 rows).
+_SAMPLE_PER_BUCKET = 64
+
+
+def _range_boundaries(df: DataFrame, order_col: str, n: int) -> list:
+    """``n-1`` (or fewer) ascending cut keys from a deterministic sample.
+
+    The sample is the ``n × 64`` keys with the smallest
+    ``xxhash64(key)`` — a deterministic function of the DATA, not of the
+    partitioning (planned as TakeOrderedAndProject: per-partition top-k,
+    driver merge of k·P rows). Evenly-spaced order statistics of that
+    sample become the bucket boundaries. Any boundary choice is CORRECT
+    (bucketing only affects balance — see module docstring), so the
+    sample being approximate is fine; determinism is what matters, and a
+    pure function of the row set is deterministic under any partitioning,
+    AQE decision, or recompute.
+    """
+    if n <= 1:
+        return []
+    cap = n * _SAMPLE_PER_BUCKET
+    sample = (
+        df.select(F.col(order_col).alias("_k"))
+        .orderBy(F.xxhash64(F.col("_k").cast("string")), F.col("_k"))
+        .limit(cap)
+        .collect()
+    )
+    # Row (struct keys) is a tuple subclass, so python sort/dedup works;
+    # even if python's order diverged from SQL's for some type, _pid =
+    # |{b : b < key}| is monotone in the SQL order for ANY boundary set,
+    # so bucket contiguity — and with it correctness — never depends on
+    # this sort (it only dedups and spaces the cut points).
+    keys = sorted({r["_k"] for r in sample})
+    if not keys:
+        return []
+    bounds = {keys[(i * len(keys)) // n] for i in range(1, n)}
+    return sorted(bounds)
+
+
+def _boundary_lit(v):
+    """A literal for a sampled boundary key; structs recurse field-wise."""
+    from pyspark.sql import Row
+
+    if isinstance(v, Row):
+        return F.struct(
+            *[_boundary_lit(x).alias(f) for f, x in zip(v.__fields__, v)]
+        )
+    return F.lit(v)
+
 
 def exclusive_prefix_sum(
     df: DataFrame,
@@ -49,29 +105,38 @@ def exclusive_prefix_sum(
 ) -> DataFrame:
     """Global exclusive prefix sum of ``value_col`` in ``order_col`` order.
 
-    Scale path (see module docstring): range partition → per-partition
-    window → broadcast per-partition offsets. ``order_col`` must be
-    unique (it defines the total order). Returns the input columns plus
-    ``out_col``; the returned frame holds a persist() on an intermediate —
-    call :func:`unpersist_prefix_scan` (or let the session end) when done.
+    Scale path (see module docstring): literal range boundaries → bucket
+    id per row → per-bucket window → broadcast per-bucket offsets.
+    ``order_col`` must be unique (it defines the total order). Returns the
+    input columns plus ``out_col``. Builds the boundary sample with one
+    driver-side action at plan-construction time; holds NO persisted
+    state (the r05 version leaked a persist per invocation —
+    ADVICE.md r05 — and its partition identity was not recompute-stable).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # persist: BOTH downstream jobs (offsets agg + final projection) must
-    # see the SAME sampled range boundaries; recomputation could resample
-    ranged = ranged.persist()
-    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_ptotal"))
-    # one row per partition — a single-partition window here is fine
+    bounds = _range_boundaries(df, order_col, n)
+    if bounds:
+        barr = F.array(*[_boundary_lit(b) for b in bounds])
+        # _pid = #boundaries strictly below the key — contiguous key
+        # ranges, stable under any evaluation. coalesce() keeps the column
+        # non-nullable so no isnotnull(<expression tree>) constraint gets
+        # inferred and pushed into the scan (see dedup.py, same trap).
+        pid = F.coalesce(
+            F.size(F.filter(barr, lambda b: b < F.col(order_col))), F.lit(0)
+        )
+    else:
+        pid = F.lit(0)
+    bucketed = df.withColumn("_pid", pid)
+    totals = bucketed.groupBy("_pid").agg(F.sum(value_col).alias("_ptotal"))
+    # one row per bucket — a single-partition window here is fine
     # (dimension-sized), unlike a corpus-wide one
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_pid", F.coalesce(F.sum("_ptotal").over(off_w), F.lit(0)).alias("_poffset")
     )
     in_w = Window.partitionBy("_pid").orderBy(order_col)
-    out = (
-        ranged.join(F.broadcast(offsets), "_pid")
+    return (
+        bucketed.join(F.broadcast(offsets), "_pid")
         .withColumn(
             out_col,
             (
@@ -80,20 +145,18 @@ def exclusive_prefix_sum(
         )
         .drop("_pid", "_poffset")
     )
-    # stash the PERSISTED ancestor's handle: Dataset.unpersist only drops a
-    # cache entry whose plan matches the handle it is called on, so calling
-    # it on the derived frame would be a silent no-op — the caller (or
-    # :func:`unpersist_prefix_scan`) must release `ranged` itself
-    out._prefix_scan_cache = ranged
-    return out
 
 
 def unpersist_prefix_scan(df: DataFrame) -> None:
-    """Release the persist taken by :func:`exclusive_prefix_sum`.
+    """Backwards-compatible no-op.
 
-    Accepts the frame returned by :func:`exclusive_prefix_sum` or
-    :func:`packed_documents` (the persisted ancestor rides on it as
-    ``_prefix_scan_cache``). Safe to call more than once."""
+    The r05 :func:`exclusive_prefix_sum` parked a ``persist()`` on an
+    ancestor and required callers to release it through this hook; the
+    r06 rewrite holds no cache at all, so there is nothing to release.
+    Kept so existing callers (and the build_vocab contract) stay valid;
+    still releases the cache when handed a frame produced by the old
+    implementation. Safe to call more than once.
+    """
     cached = getattr(df, "_prefix_scan_cache", None)
     if cached is not None:
         try:
@@ -122,10 +185,8 @@ def packed_documents(
     with_prefix = exclusive_prefix_sum(
         docs, order_col, token_col, num_partitions, out_col="_prefix"
     )
-    out = with_prefix.select(
+    return with_prefix.select(
         *docs.columns,
         F.floor(F.col("_prefix") / budget).cast("bigint").alias("bin_id"),
         F.pmod(F.col("_prefix"), F.lit(budget)).cast("bigint").alias("bin_offset"),
     )
-    out._prefix_scan_cache = with_prefix._prefix_scan_cache
-    return out

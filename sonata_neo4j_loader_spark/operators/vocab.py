@@ -54,9 +54,11 @@ def build_vocab(
 
     ``min_count`` drops rare terms before ranking; ``max_size`` keeps
     only the top-``max_size`` terms (TakeOrderedAndProject — the cut is
-    deterministic under the same total order). The returned frame holds
-    a persist() taken by the prefix-sum ranking — release it with
-    :func:`operators.packing.unpersist_prefix_scan` when done.
+    deterministic under the same total order). Since optimization r06 the
+    prefix-sum ranking holds no persisted state (the r05 version leaked
+    one persist per invocation — ADVICE.md r05);
+    :func:`operators.packing.unpersist_prefix_scan` remains a valid no-op
+    on the result.
     """
     counts = (
         df.select(F.explode(text.word_ngrams(text_col, 1)).alias("term"))
@@ -77,9 +79,9 @@ def build_vocab(
         F.lit(1).alias("_one"),
     )
     ranked = packing.exclusive_prefix_sum(keyed, "_vkey", "_one", out_col="term_id")
-    out = ranked.select("term", F.col("term_id").cast("bigint").alias("term_id"), "count")
-    out._prefix_scan_cache = ranked._prefix_scan_cache
-    return out
+    return ranked.select(
+        "term", F.col("term_id").cast("bigint").alias("term_id"), "count"
+    )
 
 
 def encode_documents(

@@ -72,12 +72,40 @@ def test_prefix_sum_plan_partitions_the_corpus_window(spark):
     assert "HashAggregate" in plan
 
 
-def test_unpersist_prefix_scan_releases_the_cached_ancestor(spark):
-    docs = _docs(spark, 200)
+def test_prefix_sum_holds_no_cache_and_reevaluates_identically(spark):
+    # r06: bucket boundaries are plan literals, not persist-pinned
+    # repartitionByRange samples — so (a) no cache is retained by the
+    # operator and (b) a SECOND evaluation of the same frame (the exact
+    # recompute path that made the r05 packed_docs driver row hash-red
+    # under eviction) reproduces byte-identical assignments.
+    spark.catalog.clearCache()
+    docs = _docs(spark, 2000)
     out = packing.packed_documents(docs, budget=128, num_partitions=4)
-    out.count()  # fills the persist
-    assert out._prefix_scan_cache.storageLevel.useMemory
+    first = sorted((r.doc_id, r.bin_id, r.bin_offset) for r in out.collect())
+    assert not spark.sparkContext._jsc.getPersistentRDDs()  # no retained cache
+    spark.catalog.clearCache()
+    second = sorted((r.doc_id, r.bin_id, r.bin_offset) for r in out.collect())
+    assert first == second
+    # the compat no-op stays callable and idempotent
     packing.unpersist_prefix_scan(out)
-    assert not out._prefix_scan_cache.storageLevel.useMemory
-    # idempotent
     packing.unpersist_prefix_scan(out)
+
+
+def test_prefix_sum_struct_order_key(spark):
+    # build_vocab orders by a (neg-count, term) STRUCT key — boundary
+    # literals must support struct keys (field-wise literals)
+    from pyspark.sql import functions as F
+
+    docs = spark.range(500).select(
+        F.col("id").alias("k0"),
+        F.struct(
+            (F.pmod(F.xxhash64("id"), F.lit(13))).alias("a"),
+            F.col("id").cast("string").alias("b"),
+        ).alias("key"),
+        F.lit(1).alias("one"),
+    )
+    got = packing.exclusive_prefix_sum(
+        docs, "key", "one", num_partitions=4, out_col="rank"
+    )
+    ranks = sorted(r.rank for r in got.collect())
+    assert ranks == list(range(500))
