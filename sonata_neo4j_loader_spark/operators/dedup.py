@@ -578,6 +578,18 @@ def build_minhash_index(
     posts = banded_postings(
         corpus, id_col, text_col, shingle_k, num_hashes, bands, seed
     ).select(F.col("_id").alias("doc_id"), "band", "bucket")
+    # meta commits BEFORE the postings materialize (r06, per the r05
+    # advisor): a parameter-changing rebuild killed mid-build used to
+    # leave new-parameter postings visible under the OLD meta, so probes
+    # silently banded with stale parameters. Meta-first inverts the
+    # failure: a kill between the two writes leaves new meta over
+    # old-parameter postings, which the resumed build's fingerprint pass
+    # rewrites — and the probe meanwhile bands with the parameters the
+    # completed build WILL have, never a mixture it can't detect.
+    spark.createDataFrame(
+        [(int(shingle_k), int(num_hashes), int(bands), int(seed), int(num_buckets))],
+        "shingle_k int, num_hashes int, bands int, seed int, num_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
     report = mat.materialize(
         posts,
         f"{index_path}/postings",
@@ -585,10 +597,6 @@ def build_minhash_index(
         num_buckets=num_buckets,
         stage="minhash_postings",
     )
-    spark.createDataFrame(
-        [(int(shingle_k), int(num_hashes), int(bands), int(seed), int(num_buckets))],
-        "shingle_k int, num_hashes int, bands int, seed int, num_buckets int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
     return {"postings": report}
 
 
@@ -880,15 +888,19 @@ def prefix_index(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    posts = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    # `n` (the doc's distinct-shingle count) is size(shingles) on the doc
+    # row — shingle arrays are array_distinct'ed, so this equals the count
+    # window over the exploded postings the r05 shape used, without a
+    # second window pass over the posting set (optimization r06).
+    posts = sh.select(
+        F.col(id_col),
+        F.coalesce(F.size("shingles"), F.lit(0)).alias("n"),
+        F.explode("shingles").alias("shingle"),
+    )
     dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
     per_doc = Window.partitionBy(id_col)
-    ranked = (
-        posts.join(dfreq, "shingle")
-        .withColumn(
-            "rn", F.row_number().over(per_doc.orderBy("dfreq", "shingle"))
-        )
-        .withColumn("n", F.count(F.lit(1)).over(per_doc))
+    ranked = posts.join(dfreq, "shingle").withColumn(
+        "rn", F.row_number().over(per_doc.orderBy("dfreq", "shingle"))
     )
     # minimum required overlap ⌈t·n⌉; the 1e-9 slack guards float error in
     # t·n upward (a too-large ceil would shorten the prefix and lose pairs;

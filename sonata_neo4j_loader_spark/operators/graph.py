@@ -117,10 +117,12 @@ def k_hop_neighborhood(
     (small by use case), each one join keyed on the node (a hub key skews
     a round the same way it skews any adjacency join — AQE's skew
     handling applies) plus one (seed, node)-keyed anti join; state is the
-    visited set, bounded by the k-hop ball sizes, not the graph. Frontier
-    and visited are eagerly ``localCheckpoint``-ed per round (lineage
-    discipline of the module's other loops), and the loop exits early
-    when a frontier drains (one bounded count action per round).
+    visited set, bounded by the k-hop ball sizes, not the graph. Only the
+    per-round FRONTIER is eagerly ``localCheckpoint``-ed (r06, per the r05
+    advisor): the visited set is kept as the lazy union of already-
+    checkpointed frontiers, so lineage stays ≤ k shallow unions and the
+    accumulated ball is no longer rewritten k times. The loop exits early
+    when a frontier drains (one bounded emptiness probe per round).
 
     Parallel edges and cycles are safe (``distinct`` frontiers, visited
     anti-join); ``k = 0`` returns the seeds alone.
@@ -145,7 +147,9 @@ def k_hop_neighborhood(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # lazy union of checkpointed frontiers — no re-checkpoint of the
+        # whole accumulated ball per round
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
