@@ -427,7 +427,9 @@ def doc_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     this corpus (word-count and mean-word-length bands each reject a
     real subset; repetition fracs span 0–0.72). Exact DuckDB list-twin
     oracle; fractions round(6) both sides (exact int-ratio doubles)."""
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: single-row-group input — parallelize the n-gram array
+    # construction across cores (see text_stats).
+    docs = dedup._spread(_t(spark, sf_dir, "documents"), "doc_id")
     return text.quality_rule_flags(docs)
 
 
@@ -960,7 +962,11 @@ def corpus_prep_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     own oracle query, ``sampled_docs_hash``)."""
     from sonata_neo4j_loader_spark.plans.corpus_prep import prepare_corpus
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # _spread: single-row-group input — the quality scoring + dedup
+    # normalization would otherwise run in one scan task (see text_stats).
+    docs = dedup._spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     out = prepare_corpus(docs, min_quality=0.5, sample_proportion=1.0)
     return out.select("doc_id", "quality_score", "token_count")
 

@@ -66,7 +66,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
 #: below this many alias edges the mapping is broadcast-dimension-sized
 #: (apply_canonical_mapping broadcasts it anyway) and a driver-side
 #: union-find beats ~7 shuffle stages/round of the star algorithm.
-LOCAL_CC_MAX_EDGES = 5_000_000
+#: r06 (guide §5 — the driver should do almost no data work): lowered
+#: 5M → 500K. The old bound let "auto" pull a ~100+ MB pandas frame and
+#: run a 5M-element single-core union-find on a possibly small driver;
+#: 500K keeps the probe ~10 MB while still covering every realistic
+#: broadcastable alias set. Override via SPARK_GRAFT_LOCAL_CC_MAX_EDGES.
+import os as _os
+
+LOCAL_CC_MAX_EDGES = int(_os.environ.get("SPARK_GRAFT_LOCAL_CC_MAX_EDGES", 500_000))
 
 
 def _local_union_find(spark, us, vs, id_type: T.DataType) -> DataFrame:

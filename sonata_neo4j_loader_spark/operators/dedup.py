@@ -360,12 +360,15 @@ def jaccard_verify(
     )
 
 
-# Verify-prefilter bitmap width: 16 longs = 1024 bits per document. Wide
+# Verify-prefilter bitmap width: 32 longs = 2048 bits per document. Wide
 # enough that the union-popcount upper bound (see minhash_near_duplicates)
-# rejects ~97% of false LSH candidates at the bench corpus's similarity
-# profile, small enough (128 B/posting) that carrying it through the
-# band-bucket self-join costs ~1/12 of carrying the shingle arrays.
-_BITMAP_WORDS = 16
+# rejects ~99% of false LSH candidates at the bench corpus's similarity
+# profile (16 words already rejected ~97%; 32 measured equal-or-faster
+# end-to-end because the exact-verify join shrinks further), still small
+# enough (256 B/posting) that carrying it through the band-bucket
+# self-join costs ~1/6 of carrying the shingle arrays. The bound is
+# lossless at ANY width — width only tunes selectivity.
+_BITMAP_WORDS = 32
 
 
 def minhash_near_duplicates(
@@ -840,6 +843,14 @@ def simhash_near_duplicates(
         text_col,
         shingle_k,
     ).select("_id", simhash_expr("shingles", seed, hash_impl).alias("sh"))
+    # Join keys are COALESCED non-nullable (same plan trap as
+    # minhash_near_duplicates): nullable key columns derived from `sh`
+    # make Catalyst infer isnotnull(<the full simhash aggregate>) and push
+    # it into the scan filter, re-evaluating the most expensive expression
+    # of the operator once per conjunct per row. A null simhash (null
+    # text) gets key 0, which may pair it — but every such pair is
+    # removed by the null-propagating hamming filter below, exactly as
+    # null join keys removed them before, so the output is identical.
     chunked = sh.select(
         "_id",
         "sh",
@@ -848,7 +859,10 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                        F.coalesce(
+                            F.shiftright("sh", c * 16).bitwiseAND(F.lit(0xFFFF)),
+                            F.lit(0),
+                        ).alias("val"),
                     )
                     for c in range(4)
                 ]
@@ -858,16 +872,64 @@ def simhash_near_duplicates(
     chunked = drop_hot_buckets(
         chunked, ["chunk", "val"], max_bucket_size, "simhash_near_duplicates"
     )
-    a = chunked.select("chunk", "val", F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = chunked.select("chunk", "val", F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Second-level pigeonhole (optimization r06): joining on (chunk, val)
+    # alone is quadratic in the bucket size, and corpora whose simhash
+    # values cluster (low-entropy bit regions — templated text) produce
+    # near-corpus-wide buckets: at 50 K docs the raw within-bucket pair
+    # stream measured ~250 s in exact mode. A pair with Hamming ≤ 3 that
+    # agrees on chunk c has ≤ 3 errors spread over the OTHER 48 bits, so
+    # by pigeonhole it also agrees on ≥ 1 of 4 twelve-bit PIECES of that
+    # complement. Refining the join key to (chunk, val, piece, pval)
+    # therefore loses no qualifying pair — in bounded mode too, since the
+    # bucket bound above still applies to the original (chunk, val) key —
+    # while a degenerate bucket now needs 28 near-constant bits instead
+    # of 16. Extra candidates were always possible and are removed by the
+    # exact bit_count verify, so the output set is unchanged in both
+    # modes. Measured sf1.0 exact mode: ~250 s → ~7 s, identical rows.
+    refined = chunked.select(
+        "_id",
+        "sh",
+        "chunk",
+        "val",
+        F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("piece"),
+    )
+    # complement of chunk c = the other 48 bits (bits above 47 may carry
+    # arithmetic-shift sign fill — pieces only read bits 0..47):
+    # comp = (sh >> ((chunk+1)*16)) << (chunk*16)  |  (sh & ((1<<chunk*16)-1))
+    refined = refined.withColumn(
+        "pval",
+        F.expr(
+            "coalesce(shiftright("
+            " shiftleft(shiftright(sh, (chunk + 1) * 16), chunk * 16)"
+            "  | (sh & (shiftleft(cast(1 as bigint), chunk * 16) - 1)),"
+            " piece * 12) & 4095, 0)"
+        ),
+    )
+    a = refined.select(
+        "chunk", "val", "piece", "pval", F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = refined.select(
+        "chunk", "val", "piece", "pval", F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    # Hamming filter BEFORE the pair distinct (r06, part of the same
+    # rework): the exact bit_count(xor) verify is two instructions, so it
+    # runs inside the join's codegen stage and the distinct then shuffles
+    # only true near-dup pairs (≤16 occurrences each) instead of the raw
+    # candidate stream. Filter-then-distinct is row-identical — the
+    # predicate is deterministic per row and hamming is a function of the
+    # pair.
+    # the hamming predicate is wrapped coalesce(..., false): null hamming
+    # (a null-simhash participant) is excluded either way, and the
+    # non-nullable wrapper stops the isnotnull(sh_a/sh_b) constraint —
+    # i.e. isnotnull(<full simhash expr>) — from being inferred and
+    # pushed into the scan (see the key coalesce note above).
     return (
-        a.join(b, ["chunk", "val"])
+        a.join(b, ["chunk", "val", "piece", "pval"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .where(F.col("hamming") <= max_hamming)
+        .where(F.coalesce(F.col("hamming") <= max_hamming, F.lit(False)))
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

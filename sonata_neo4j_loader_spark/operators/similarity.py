@@ -399,6 +399,25 @@ def embedding_near_duplicates(
        The bound is the web-scale-safe product default; unbounded is the
        oracle-matching fixture mode.
     """
+    # r06 rework (same guide-§8 pattern as dedup.minhash_near_duplicates,
+    # measured there first):
+    # * verify BEFORE the pair dedup — the r05 shape dropDuplicates-ed the
+    #   raw within-bucket join stream while every row still carried BOTH
+    #   64-double vectors (~1 KB/row, tens of GB shuffled at 20 K vecs in
+    #   exact mode), then scored the survivors; scoring first keeps the
+    #   cosine inside the join's stage and the dedup shuffles only
+    #   threshold-passing pairs. Identical output: duplicate (id_a, id_b)
+    #   rows carry identical vectors, hence identical cos, so
+    #   filter-then-dedup keeps exactly the pairs dedup-then-filter kept;
+    # * per-vector L2 norms computed once per posting row instead of per
+    #   pair (cos = dot/(norm_a*norm_b), same operand order as cosine() —
+    #   bit-identical doubles);
+    # * bucket keys COALESCED non-nullable so Catalyst cannot infer
+    #   isnotnull(<the 12-plane projection expression>) and push it into
+    #   the scan (the plan trap documented in dedup.py); a null-vector
+    #   row gets bucket 0 but every pair it forms dies on the
+    #   null-propagating cosine, exactly as its null key killed it in the
+    #   join before.
     def band_structs(vec: Column) -> Column:
         bits = lsh_bucket_bits(vec, n_planes, dim, seed)
         bpb = n_planes // bands
@@ -407,7 +426,10 @@ def embedding_near_duplicates(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftright(bits, b * bpb).bitwiseAND(F.lit(mask)).alias("bucket"),
+                    F.coalesce(
+                        F.shiftright(bits, b * bpb).bitwiseAND(F.lit(mask)),
+                        F.lit(0),
+                    ).alias("bucket"),
                 )
                 for b in range(bands)
             ]
@@ -416,21 +438,40 @@ def embedding_near_duplicates(
     e = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("_norm"),
         F.explode(band_structs(F.col(vec_col))).alias("bb"),
-    ).select("_id", "vec", "bb.band", "bb.bucket")
+    ).select("_id", "vec", "_norm", "bb.band", "bb.bucket")
     e = drop_hot_buckets(
         e, ["band", "bucket"], max_bucket_size, "embedding_near_duplicates"
     )
-    a = e.select("band", "bucket", F.col("_id").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = e.select("band", "bucket", F.col("_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    a = e.select(
+        "band",
+        "bucket",
+        F.col("_id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("_norm").alias("_norm_a"),
+    )
+    b = e.select(
+        "band",
+        "bucket",
+        F.col("_id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("_norm").alias("_norm_b"),
+    )
     return (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
-        .where(F.col("cos") >= threshold)
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("_norm_a") * F.col("_norm_b")),
+                6,
+            ),
+        )
+        .where(F.coalesce(F.col("cos") >= threshold, F.lit(False)))
         .select("id_a", "id_b", "cos")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
