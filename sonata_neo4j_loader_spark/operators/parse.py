@@ -55,9 +55,11 @@ def parse_documents(docs: DataFrame) -> DataFrame:
     packed = F.expr(
         "transform(array(" + _SORT + "), sp -> struct("
         " sp AS spans,"
+        # validity = the offset array IS 0..n-1 — one transform + an array
+        # equality instead of transform+zip_with+forall (r06; same result,
+        # the two arrays always have equal length by construction)
         " CASE WHEN size(sp) = 0 THEN false ELSE"
-        "   forall(zip_with(transform(sp, s -> s.offset),"
-        "     sequence(0, size(sp) - 1), (o, i) -> o = i), x -> x) END AS spans_valid,"
+        "   transform(sp, s -> s.offset) = sequence(0, size(sp) - 1) END AS spans_valid,"
         " array_join(transform(filter(sp, s -> s.kind = 'text'), s -> s.text), ' ')"
         "   AS doc_text,"
         " transform(filter(sp, s -> s.kind = 'media'), s -> s.media_ref)"
