@@ -937,6 +937,68 @@ def simhash_near_duplicates(
 # n-gram Jaccard (brute within buckets) & embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _gen_barrier(col: Column) -> Column:
+    """No-op wrapper that stops Catalyst cloning an expensive array expr.
+
+    ``explode`` of a computed array makes ``InferFiltersFromGenerate``
+    (+ constraint propagation) synthesize ``size(<expr>) > 0 AND
+    isnotnull(<expr>)`` filters with the FULL generating expression
+    substituted — and filter pushdown then sinks them below any
+    ``_spread`` repartition, so the corpus's most expensive expression
+    (normalize + shingle: regex + a length(text)-element transform +
+    array_distinct) runs 2 extra times per row INSIDE the single-task
+    scan partition. Measured on ngram_jaccard's prefix leg at sf0.1:
+    12.1 s → 1.3 s for the identical output (the inferred filters are
+    pure optimizations; explode itself drops null/empty arrays).
+
+    The guard condition is always true (``monotonically_increasing_id``
+    is non-negative by construction), so the value is unchanged and
+    still deterministic; but the expression is *marked* non-deterministic,
+    which (a) makes InferFiltersFromGenerate skip it and (b) blocks
+    predicate pushdown through the projection that computes it. Apply it
+    to the array column right before an ``explode`` whose input is
+    expensive to compute.
+    """
+    return F.when(F.monotonically_increasing_id() >= 0, col)
+
+
+# Bit budget for the exact-bitmap Jaccard fast path: 1024 bits = 16 long
+# words per doc. A k=1 (character-shingle) corpus's universe is its
+# character set — ASCII-ish corpora sit near 40-70 — so the budget is
+# generous while keeping the per-posting payload bounded.
+_EXACT_JACCARD_MAX_BITS = 1024
+
+
+def _exact_bitmap_universe(sh: DataFrame, max_bits: int) -> list[str] | None:
+    """The corpus's distinct shingles, sorted — or None if > ``max_bits``.
+
+    Probe for the exact-bitmap fast path of :func:`ngram_jaccard_pairs`:
+    one ``collect_set`` aggregation (set-union partial aggregation per
+    map task, single dimension-sized merge) — deliberately NOT
+    ``distinct().limit(n).collect()``, whose ``CollectLimit`` executes
+    the final aggregate's partitions incrementally (1, then 5, then 25,
+    …), costing several driver round-trips per probe (measured ~1.5 s of
+    the sf0.01 row vs ~0.2 s for this shape). The caller only probes
+    when ``shingle_k == 1`` (universe = the corpus's character set,
+    bounded by the alphabet, not the corpus), so the merged set stays
+    dimension-sized at any corpus scale.
+    """
+    rows = (
+        sh.select(F.explode("shingles").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .collect()
+    )
+    if len(rows) > max_bits:
+        return None
+    # GLOBAL PREFIX ORDER: (document frequency asc, shingle asc) — the
+    # same total order prefix_index ranks by. Bit i ⇔ the i-th shingle in
+    # that order, so "lowest set bit of bm_a & bm_b" = the pair's
+    # minimal shared shingle under the prefix order (the dedup key of
+    # the bitmap leg).
+    return [r["s"] for r in sorted(rows, key=lambda r: (r["dfreq"], r["s"]))]
+
+
 def prefix_index(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
     """(id, shingle) posting rows restricted to each doc's Jaccard prefix.
 
@@ -982,6 +1044,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 1,
     threshold: float = 0.5,
+    exact_bitmap: bool = True,
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs ≥ threshold via a PREFIX-FILTERED
     inverted index (AllPairs/PPJoin prefix principle).
@@ -1012,6 +1075,28 @@ def ngram_jaccard_pairs(
     sh = add_shingles(
         _spread(df.select(F.col(id_col), text_col), id_col), text_col, shingle_k
     ).select(id_col, "shingles")
+    # Exact-bitmap fast path (optimization r06, guide §8 — decide with
+    # small rows, never move the heavy ones): when the distinct-shingle
+    # UNIVERSE fits a fixed bit budget (k=1 ⇒ universe = the corpus's
+    # character set, typically well under 100), assign every shingle a
+    # collision-free global bit (position in the sorted universe) and
+    # carry each doc's membership bitmap — a few long words — through the
+    # posting self-join. ``popcount(bm_a & bm_b)`` is then |A∩B| EXACTLY
+    # (no collisions by construction), so the Jaccard is computed inline
+    # in the join and the two full-shingle-array attach joins plus the
+    # per-pair ``array_intersect`` verify disappear from the plan
+    # entirely. Output identical: same m, same |A∪B| = n_a+n_b−m, same
+    # round(·, 6). Docs with a null shingle array produce no postings on
+    # either path. Universes past the budget (any k ≥ 2 corpus, or a
+    # k=1 corpus with > max_bits distinct characters) keep the
+    # array-verify path below.
+    universe = (
+        _exact_bitmap_universe(sh, _EXACT_JACCARD_MAX_BITS)
+        if exact_bitmap and shingle_k == 1
+        else None
+    )
+    if universe is not None:
+        return _ngram_jaccard_pairs_bitmap(sh, universe, id_col, threshold)
     prefix = prefix_index(sh, id_col, threshold)
     a = prefix.select(F.col(id_col).alias("id_a"), "shingle", F.col("n").alias("n_a"))
     b = prefix.select(F.col(id_col).alias("id_b"), "shingle", F.col("n").alias("n_b"))
@@ -1042,6 +1127,143 @@ def ngram_jaccard_pairs(
                 / (F.size("sh_a") + F.size("sh_b") - F.col("m")),
                 6,
             ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _ngram_jaccard_pairs_bitmap(
+    sh: DataFrame, universe: list[str], id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-bitmap leg of :func:`ngram_jaccard_pairs`.
+
+    ``universe`` is the corpus's full distinct-shingle list in GLOBAL
+    PREFIX ORDER — (dfreq asc, shingle asc), ≤
+    ``_EXACT_JACCARD_MAX_BITS`` entries — so bit *i* ⇔ the i-th shingle
+    of the prefix-filter total order, collision-free. Three structural
+    consequences, each removing a whole plan phase of the array leg:
+
+    * **No dfreq join, no rank window.** A doc's Jaccard prefix (its
+      n − ⌈t·n⌉ + 1 smallest shingles under the global order) is just
+      the lowest entries of its sorted bit-index array:
+      ``slice(array_sort(bits), 1, p)``. The posting index is built
+      per-row and keys on an *int* bit index instead of a string.
+    * **Exact verify inside the join.** ``Σ_w popcount(a_w & b_w)`` is
+      |A∩B| exactly (no collisions by construction), so the Jaccard
+      filter + value need no full-array attach joins and no
+      ``array_intersect``.
+    * **No pair ``distinct``.** A pair is emitted only from its MINIMAL
+      shared bit (no and-bit strictly below the matched bit): for any
+      pair with J ≥ t the minimal shared shingle provably lies in both
+      prefixes — if it didn't, one side would have ≥ n − ⌈t·n⌉ + 1
+      non-shared shingles below it, capping m at ⌈t·n⌉ − 1 < t·n — so
+      every qualifying pair is emitted EXACTLY once and the 10.7 s
+      distinct over ~20 M candidate rows (sf0.1) disappears.
+
+    Every derived column is wrapped non-nullable (``coalesce``) — the
+    Catalyst isnotnull-constraint trap documented in
+    :func:`minhash_near_duplicates`.
+    """
+    nwords = (len(universe) + 63) // 64
+    bit_of = F.create_map(
+        *[lit for i, s in enumerate(universe) for lit in (F.lit(s), F.lit(i))]
+    )
+    # _gen_barrier: without it, InferFiltersFromGenerate clones the whole
+    # normalize+shingle expression into scan-level filters below the
+    # _spread exchange (2 extra serial evaluations per row — measured
+    # 12.1 s of this operator's prefix leg alone at sf0.1; see the
+    # helper's doc). Scoped to this leg: the array fallback keeps its
+    # r05 plan (the barrier interacts badly with its verify joins).
+    shb = (
+        sh.select(F.col(id_col), _gen_barrier(F.col("shingles")).alias("shingles"))
+        .select(
+            F.col(id_col),
+            F.array_sort(
+                F.transform("shingles", lambda s: F.element_at(bit_of, s))
+            ).alias("_bits"),
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.size("_bits"), F.lit(0)).alias("n"),
+            "_bits",
+        )
+    )
+    word_cols = [
+        F.coalesce(
+            F.expr(
+                f"aggregate(_bits, cast(0 as bigint), (acc, b) -> "
+                f"if(b div 64 = {w}, "
+                f"acc | shiftleft(cast(1 as bigint), cast(b % 64 as int)), acc))"
+            ),
+            F.lit(0),
+        ).alias(f"_bm{w}")
+        for w in range(nwords)
+    ]
+    # prefix = the p = n − ⌈t·n⌉ + 1 lowest bit indexes (1e-9 slack as in
+    # prefix_index); explode to int-keyed postings carrying the bitmap
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
+    posts = shb.select(
+        F.col(id_col),
+        "n",
+        *word_cols,
+        F.explode(F.slice("_bits", F.lit(1), prefix_len)).alias("t_bit"),
+    )
+    bm_names = [f"_bm{w}" for w in range(nwords)]
+    a = posts.select(
+        F.col(id_col).alias("id_a"),
+        "t_bit",
+        F.col("n").alias("n_a"),
+        *[F.col(c).alias(f"a{c}") for c in bm_names],
+    )
+    b = posts.select(
+        F.col(id_col).alias("id_b"),
+        "t_bit",
+        F.col("n").alias("n_b"),
+        *[F.col(c).alias(f"b{c}") for c in bm_names],
+    )
+    size_ok = (
+        F.col("n_a") >= F.col("n_b") * F.lit(threshold) - F.lit(1e-9)
+    ) & (F.col("n_b") >= F.col("n_a") * F.lit(threshold) - F.lit(1e-9))
+    # minimal-shared-bit test: no and-bit strictly below t_bit — per word
+    # w the below-mask is all-ones left of t_bit's word, zero right of
+    # it, and (1 << t_bit%64) − 1 inside it
+    def below_mask(w: int) -> Column:
+        return F.expr(
+            f"CASE WHEN t_bit div 64 > {w} THEN cast(-1 as bigint) "
+            f"WHEN t_bit div 64 < {w} THEN cast(0 as bigint) "
+            f"ELSE shiftleft(cast(1 as bigint), cast(t_bit % 64 as int)) - 1 END"
+        )
+
+    is_min_shared = F.coalesce(
+        sum(
+            F.bit_count(
+                F.col(f"a_bm{w}").bitwiseAND(F.col(f"b_bm{w}")).bitwiseAND(
+                    below_mask(w)
+                )
+            )
+            for w in range(nwords)
+        ),
+        F.lit(0),
+    ) == 0
+    m = F.coalesce(
+        sum(
+            F.bit_count(F.col(f"a_bm{w}").bitwiseAND(F.col(f"b_bm{w}")))
+            for w in range(nwords)
+        ),
+        F.lit(0),
+    )
+    return (
+        a.join(b, "t_bit")
+        .where((F.col("id_a") < F.col("id_b")) & size_ok & is_min_shared)
+        .withColumn("m", m)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("m") / (F.col("n_a") + F.col("n_b") - F.col("m")), 6),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

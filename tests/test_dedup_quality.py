@@ -168,6 +168,42 @@ def test_ngram_prefix_filter_lossless_and_shrinks_hot_postings(spark):
     assert prefix.count() == posts_n * 4 // 6
 
 
+def test_ngram_bitmap_leg_identical_to_array_leg(spark):
+    # Optimization r06: the exact-bitmap leg (global-prefix-order bits,
+    # popcount intersection, minimal-shared-bit dedup instead of a pair
+    # distinct) must be row-identical to the array-verify leg for every
+    # threshold — including boundary pairs and docs sharing only hot
+    # shingles.
+    import itertools
+
+    alphabet = "abcdefghij"
+    combos = list(itertools.combinations(alphabet, 4))
+    rows = [(i, " ".join(("z",) + combos[5 * i])) for i in range(40)]
+    rows.append((40, rows[0][1]))  # an exact twin: a J=1.0 pair at any t
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        arr = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                df, shingle_k=1, threshold=t, exact_bitmap=False
+            ).collect()
+        }
+        bm = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                df, shingle_k=1, threshold=t, exact_bitmap=True
+            ).collect()
+        }
+        assert bm == arr and len(arr) > 0
+    # the bitmap leg must emit each pair exactly once — there is no
+    # distinct in its plan to mop up duplicates (plan-shape pin: the
+    # main query has no Aggregate at all; dfreq rides the driver probe)
+    out = dedup.ngram_jaccard_pairs(df, shingle_k=1, threshold=0.3)
+    pairs = [(r.id_a, r.id_b) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))
+    assert "Aggregate" not in out._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_near_dup_survivors_collapse_transitive_chains(spark):
     # A~B and B~C without A~C: the CLUSTER must collapse to min(A,B,C) —
     # per-pair survivor picking would wrongly keep one of {B, C} too
