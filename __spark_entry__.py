@@ -883,35 +883,54 @@ def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     * EXISTS another supplier on the order (late or not)  ⟺  the order's
       distinct-supplier count over ALL lineitems is ≥ 2.
 
-    Both aggregates key on ``l_orderkey``, so the late side is ONE
-    lineitem⋈orders pass → distinct → groupBy (the groupBy reuses the
-    distinct's hash partitioning — zero extra exchange) and the
-    multi-supplier side is one skinny (orderkey, suppkey) distinct →
-    groupBy, semi-joined at dimension size. Plan diff: 3 lineitem scans →
-    2, SortMergeJoin LeftAnti eliminated; row-identical per the DuckDB
-    oracle (the oracle text is unchanged)."""
+    Second r06 pass: BOTH aggregates now ride ONE lineitem scan and ONE
+    lineitem⋈orders join — per (orderkey, suppkey) the lateness flag is
+    max'd, then one orderkey-level aggregate yields the supplier count,
+    the late count, and the sole late supplier together (the groupBy
+    reuses the pair aggregate's hash partitioning prefix). Plan diff vs
+    r05: 3 lineitem scans → 1, SortMergeJoin LeftAnti eliminated, two
+    pair-level exchanges → one; row-identical per the DuckDB oracle (the
+    oracle text is unchanged; equality also A/B'd against the two-branch
+    shape at sf0.01/sf0.1/scaled-sf1.0). Measured warmup+min-of-2,
+    local[32]: sf0.1 1.74 s → 1.53 s; scaled sf1.0 parity (2.63/2.76 s,
+    inside the noise band) with one fewer serial single-row-group scan."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
-    late = (
+    # r06 second pass (guide §2.4): ONE lineitem scan and ONE li⋈o join
+    # feed BOTH aggregates. Per (orderkey, suppkey) compute whether the
+    # pair has ≥1 late lineitem (max of the lateness flag), then per
+    # orderkey derive the distinct-supplier count (= pair count), the
+    # late-supplier count (= sum of pair flags) and the sole late
+    # supplier (min suppkey over late pairs — unique when _nlate = 1).
+    # Row-identical to the two-branch shape: `late` there is exactly the
+    # pairs with _late = 1, and `multi_orders` is pair-count ≥ 2.
+    pair_late = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    multi_orders = (
-        li.select("l_orderkey", "l_suppkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("_nsup"))
-        .where(F.col("_nsup") >= 2)
-        .select("l_orderkey")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("_late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("_late").alias("_late"))
     )
     sole = (
-        late.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("_nlate"), F.min("l_suppkey").alias("l_suppkey"))
-        .where(F.col("_nlate") == 1)
-        .join(multi_orders, "l_orderkey", "left_semi")
+        pair_late.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("_nsup"),
+            F.sum("_late").alias("_nlate"),
+            F.min(F.when(F.col("_late") == 1, F.col("l_suppkey"))).alias(
+                "l_suppkey"
+            ),
+        )
+        .where((F.col("_nlate") == 1) & (F.col("_nsup") >= 2))
         .select("l_orderkey", "l_suppkey")
     )
     return (
@@ -979,9 +998,15 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # _spread: single-row-group input — parallelize the normalization
-    # regex and the map-side partial aggregation (see text_stats).
-    docs = dedup._spread(_t(spark, sf_dir, "documents"), "doc_id")
+    # Deliberately NOT _spread (r06 A/B): groups here are ~all size 1, so
+    # map-side partial aggregation collapses nothing and the groupBy
+    # exchange ships every doc's normalized text regardless; a prior
+    # repartition just moves the raw text a second time. Measured
+    # warmup+min-of-2: sf0.1 0.68 s (spread) vs 0.29 s (no spread),
+    # scaled sf1.0 0.53 vs 0.65 — the spread's only win is on inputs
+    # where per-row compute dominates shuffle bytes (text_stats,
+    # doc_quality_flags), not here.
+    docs = _t(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", text.normalized_text("text"))
         .groupBy("normalized_text")
