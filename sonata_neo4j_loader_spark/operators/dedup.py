@@ -937,7 +937,7 @@ def simhash_near_duplicates(
 # n-gram Jaccard (brute within buckets) & embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-def _gen_barrier(col: Column) -> Column:
+def gen_barrier(col: Column) -> Column:
     """No-op wrapper that stops Catalyst cloning an expensive array expr.
 
     ``explode`` of a computed array makes ``InferFiltersFromGenerate``
@@ -1169,14 +1169,14 @@ def _ngram_jaccard_pairs_bitmap(
     bit_of = F.create_map(
         *[lit for i, s in enumerate(universe) for lit in (F.lit(s), F.lit(i))]
     )
-    # _gen_barrier: without it, InferFiltersFromGenerate clones the whole
+    # gen_barrier: without it, InferFiltersFromGenerate clones the whole
     # normalize+shingle expression into scan-level filters below the
     # _spread exchange (2 extra serial evaluations per row — measured
     # 12.1 s of this operator's prefix leg alone at sf0.1; see the
     # helper's doc). Scoped to this leg: the array fallback keeps its
     # r05 plan (the barrier interacts badly with its verify joins).
     shb = (
-        sh.select(F.col(id_col), _gen_barrier(F.col("shingles")).alias("shingles"))
+        sh.select(F.col(id_col), gen_barrier(F.col("shingles")).alias("shingles"))
         .select(
             F.col(id_col),
             F.array_sort(

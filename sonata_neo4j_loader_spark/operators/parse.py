@@ -72,6 +72,16 @@ def parse_documents(docs: DataFrame) -> DataFrame:
     # rewrite must not emit duplicates (AMBIGUOUS_REFERENCE downstream)
     _derived = {"spans", "span_fingerprint", "spans_valid", "doc_text", "media_refs"}
     other_cols = [c for c in docs.columns if c not in _derived]
+    # gen_barrier (r06): every caller filters on spans_valid; Catalyst
+    # substitutes the attribute with the FULL packed expression and
+    # pushes the filter below this projection, so the scan evaluated the
+    # whole sort+struct parse TWICE per row (once in the pushed filter
+    # just to read .spans_valid, once in the projection). The barrier
+    # marks the producer non-deterministic, pinning the filter above the
+    # projection — single evaluation, identical rows.
+    from .dedup import gen_barrier
+
+    packed = gen_barrier(packed)
     # span_fingerprint stays an INDEPENDENT column (not a struct member):
     # nothing in the pipeline reads it (the audit recomputes fingerprints
     # from `spans`), so keeping it separate lets Catalyst prune its

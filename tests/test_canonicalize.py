@@ -51,6 +51,28 @@ def test_cc_auto_picks_local_for_small(spark):
     assert got == EXPECTED
 
 
+def test_cc_auto_goes_distributed_above_edge_budget(spark, monkeypatch):
+    """Scale hazard pin (r06): above LOCAL_CC_MAX_EDGES the 'auto'
+    strategy must run the distributed star contraction, never pull the
+    edge set to the driver. Shrink the budget below the fixture size and
+    assert the local path is not invoked while the mapping stays
+    identical."""
+    from sonata_neo4j_loader_spark.operators import canonicalize
+
+    monkeypatch.setattr(canonicalize, "LOCAL_CC_MAX_EDGES", 2)
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("auto pulled an over-budget edge set local")
+
+    monkeypatch.setattr(canonicalize, "_local_union_find", _boom)
+    edges = spark.createDataFrame(EDGES, "alias_a string, alias_b string")
+    got = {
+        r.entity_id: r.canonical_id
+        for r in canonicalize.connected_components(edges, strategy="auto").collect()
+    }
+    assert got == EXPECTED
+
+
 def test_local_cc_preserves_id_dtype_above_double_precision(spark):
     """The local union-find path must return the INPUT id dtype: a
     string-typed mapping anti-joined against bigint ids coerces both
