@@ -186,6 +186,7 @@ def extract_documents(parsed: DataFrame, impl: str = "arrow") -> DataFrame:
         pairs = F.expr(f"regexp_extract_all(doc_text, '{_sql_re(_ENTITY_RE)}', 0)")
         prop_sql = _sql_re(_PROP_RE)
         attr_sql = _sql_re(_NODE_ATTR_RE)
+        syn_sql = _sql_re(_SYNAPSE_RE)
         # The substring pre-masks GATE the extractalls themselves (not just
         # the emitted map): the entry arrays materialize in this projection
         # for every row, so an ungated extractall ran the props regex — the
@@ -213,6 +214,21 @@ def extract_documents(parsed: DataFrame, impl: str = "arrow") -> DataFrame:
                 f" regexp_extract(h, '{attr_sql}', 2) as v))"
                 f" ELSE NULL END"
             ).alias("_attr_entries"),
+            # Endpoint extraction, r06: the r05 shape ran the SYNAPSE
+            # regex over the FULL doc_text twice per row (once per
+            # capture group), ungated — for every doc, though the
+            # pattern literally requires the word 'synapse' (so the
+            # substring gate is implied by the pattern: losslessly
+            # skippable for the ~half of the corpus without it). Extract
+            # the full match ONCE here; the group pulls below then run
+            # over the ~30-char match string instead of the document.
+            # Docs without the keyword get NULL (regexp on NULL is NULL,
+            # nullif('')) — exactly the '' → NULL path they took before.
+            F.expr(
+                f"CASE WHEN contains(doc_text, 'synapse') THEN"
+                f" regexp_extract(doc_text, '{syn_sql}', 0)"
+                f" ELSE NULL END"
+            ).alias("_syn_match"),
         )
 
         def keep_last_map(entries_col: str) -> F.Column:
@@ -248,12 +264,12 @@ def extract_documents(parsed: DataFrame, impl: str = "arrow") -> DataFrame:
                 ),
             ).alias("mentions"),
             F.struct(
-                F.nullif(F.regexp_extract("doc_text", _SYNAPSE_RE, 1), F.lit("")).alias(
-                    "src_surface"
-                ),
-                F.nullif(F.regexp_extract("doc_text", _SYNAPSE_RE, 2), F.lit("")).alias(
-                    "tgt_surface"
-                ),
+                F.nullif(
+                    F.regexp_extract("_syn_match", _SYNAPSE_RE, 1), F.lit("")
+                ).alias("src_surface"),
+                F.nullif(
+                    F.regexp_extract("_syn_match", _SYNAPSE_RE, 2), F.lit("")
+                ).alias("tgt_surface"),
                 F.when(has_syn & (F.size(props_expr) > 0), props_expr).alias("props"),
                 F.when(
                     has_syn,
