@@ -344,15 +344,33 @@ def jaccard_verify(
         sh = sh.hint(join_hint)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
+    # ONE array_intersect per pair (r06): the withColumn(jaccard)+where
+    # shape evaluated intersect AND union twice each — Catalyst substitutes
+    # the jaccard alias into the filter and turns it into a join condition,
+    # then the output projection recomputes it (4 heavy array passes per
+    # matched pair; plan-verified in plans/r06/minhash_near_dups_after.txt
+    # operator (45)/(47)). Now: |A∪B| = |A| + |B| − |A∩B| (both sides are
+    # add_shingles outputs, hence duplicate-free, so the sizes ARE set
+    # cardinalities — identical ints, identical double division, identical
+    # round), and the intersect size is materialized ONCE behind a
+    # gen_barrier so the threshold filter compares cheap ints instead of
+    # re-running the intersect inside the join.
+    scored = (
         candidates.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn(
+        .select(
+            "id_a",
+            "id_b",
+            gen_barrier(F.size(F.array_intersect("sh_a", "sh_b"))).alias("_m"),
+            F.size("sh_a").alias("_na"),
+            F.size("sh_b").alias("_nb"),
+        )
+    )
+    return (
+        scored.withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
+                F.col("_m") / (F.col("_na") + F.col("_nb") - F.col("_m")), 6
             ),
         )
         .where(F.col("jaccard") >= threshold)
@@ -526,10 +544,19 @@ def minhash_near_duplicates(
     for w in range(nwords):
         word = F.bit_count(F.col(f"_a{w}").bitwiseOR(F.col(f"_b{w}")))
         or_pop = word if or_pop is None else or_pop + word
-    m_ub = na + nb - or_pop
-    ub_ok = m_ub.cast("double") >= F.lit(threshold) * (na + nb - m_ub).cast(
-        "double"
-    ) - F.lit(1e-9)
+    # Single-reference form of the union bound (r06b): with
+    # m_ub = n_a+n_b−or_pop, the bound  m_ub ≥ t·(n_a+n_b−m_ub)  is
+    # algebraically  or_pop ≤ (n_a+n_b)/(1+t).  The two-reference form
+    # made codegen evaluate the 32-word popcount chain TWICE per
+    # co-occurring pair (plan-verified: the chain appeared twice in the
+    # join condition); this form references it once. Still lossless: for
+    # any true pair J ≥ t ⇒ |A∪B| ≤ (n_a+n_b)/(1+t) and
+    # or_pop ≤ popcount-bound ≤ |A∪B|; the 1e-9 slack (≥ the old form's
+    # effective slack 1e-9/(1+t)) only ever ADMITS extra candidates,
+    # which the exact verify rejects — output identical.
+    ub_ok = or_pop.cast("double") <= (na + nb).cast("double") / F.lit(
+        1.0 + threshold
+    ) + F.lit(1e-9)
     cands = (
         a.join(b, ["band", "bucket"])
         .where((F.col("id_a") < F.col("id_b")) & size_ok & ub_ok)
@@ -698,15 +725,25 @@ def minhash_incremental_duplicates(
     hist_sh = add_shingles(hist_cand, text_col, meta.shingle_k).select(
         "hist_id", F.col("shingles").alias("sh_b")
     )
-    return (
+    # single-eval size-formula verify — same shape (and rationale) as
+    # jaccard_verify: one barriered intersect per pair, |A∪B| from the
+    # duplicate-free sizes, threshold filter over materialized ints.
+    scored = (
         cands.join(new_sh, "new_id")
         .join(hist_sh, "hist_id")
-        .withColumn(
+        .select(
+            "new_id",
+            "hist_id",
+            gen_barrier(F.size(F.array_intersect("sh_a", "sh_b"))).alias("_m"),
+            F.size("sh_a").alias("_na"),
+            F.size("sh_b").alias("_nb"),
+        )
+    )
+    return (
+        scored.withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
+                F.col("_m") / (F.col("_na") + F.col("_nb") - F.col("_m")), 6
             ),
         )
         .where(F.col("jaccard") >= threshold)
