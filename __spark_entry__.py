@@ -886,14 +886,28 @@ def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Second r06 pass: BOTH aggregates now ride ONE lineitem scan and ONE
     lineitem⋈orders join — per (orderkey, suppkey) the lateness flag is
     max'd, then one orderkey-level aggregate yields the supplier count,
-    the late count, and the sole late supplier together (the groupBy
-    reuses the pair aggregate's hash partitioning prefix). Plan diff vs
+    the late count, and the sole late supplier together. Plan diff vs
     r05: 3 lineitem scans → 1, SortMergeJoin LeftAnti eliminated, two
     pair-level exchanges → one; row-identical per the DuckDB oracle (the
     oracle text is unchanged; equality also A/B'd against the two-branch
     shape at sf0.01/sf0.1/scaled-sf1.0). Measured warmup+min-of-2,
     local[32]: sf0.1 1.74 s → 1.53 s; scaled sf1.0 parity (2.63/2.76 s,
-    inside the noise band) with one fewer serial single-row-group scan."""
+    inside the noise band) with one fewer serial single-row-group scan.
+
+    Third r06 pass (guide §2.4 — two operations keyed the same way share
+    one exchange): the pair groupBy hash-partitioned on (orderkey,
+    suppkey), which does NOT cluster by orderkey alone, so the
+    orderkey-level aggregate paid a SECOND full exchange — and since
+    TPC-H orders rarely repeat a supplier, map-side combining collapsed
+    almost nothing: both exchanges shipped ~|lineitem| narrow rows. The
+    explicit ``repartition(l_orderkey)`` below establishes a
+    partitioning that satisfies BOTH groupings (a hash partitioning on a
+    subset of the grouping keys satisfies the clustered distribution),
+    so the heavy leg now has exactly ONE exchange of the narrow
+    (orderkey, suppkey, late) rows. Equality re-A/B'd at
+    sf0.01/sf0.1/scaled-sf1.0 (zero differing rows); measured
+    interleaved min-of-3: scaled sf1.0 2.49 → 1.87 s, sf0.1
+    1.21 → 0.88 s."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
@@ -918,6 +932,10 @@ def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("_late"),
         )
+        # one exchange for BOTH aggregates (see docstring, third pass):
+        # partitioning by orderkey clusters every (orderkey, suppkey)
+        # group AND every orderkey group
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("_late").alias("_late"))
     )
