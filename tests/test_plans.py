@@ -264,3 +264,33 @@ def test_bucketed_asof_corpus_windows_partition_on_bucket(spark):
         if "_b#" not in partition_cols:
             key_only += 1
     assert key_only == 1  # exactly the summary carry
+
+
+def test_minhash_verify_single_intersect_no_union(spark):
+    # r06 third pass: the exact verify must evaluate ONE array_intersect
+    # per pair and no array_union at all — the jaccard alias used to be
+    # substituted into the second verify join's condition AND recomputed
+    # in the output projection (2x intersect + 2x union per pair), and
+    # the union is now derived from the duplicate-free sizes
+    from sonata_neo4j_loader_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.6))
+    assert plan.count("array_intersect") == 1, plan.count("array_intersect")
+    assert "array_union" not in plan
+
+
+def test_q21_aggregates_share_one_exchange(spark):
+    # r06 third pass: the pair-level and order-level aggregates ride ONE
+    # exchange (the explicit orderkey repartition satisfies both
+    # groupings); a (l_orderkey, l_suppkey) exchange reappearing means
+    # the shared partitioning was lost
+    import re
+
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q21_late_sole_suppliers(spark, SF_DIR))
+    # exactly two shuffles total: the orderkey repartition + the final
+    # dimension-sized s_name aggregation
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert not re.search(r"hashpartitioning\([^)]*l_suppkey", plan), plan
